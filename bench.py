@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: online tracking+mapping FPS on a synthetic Replica-class scene.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
+
+FPS accounting follows the reference rule ``fps = 1 / mean(mapping time)``
+(``utils/monitor.py:22-24``, ``slam.py:142``); the baseline is the driver's
+north star of 30 FPS online tracking+mapping (BASELINE.md).  The scene is
+procedural (no datasets ship in this environment) at a Replica-like aspect;
+resolution/frames are tunable via env:
+
+  BENCH_H/BENCH_W   frame size     (default 340 x 600: half Replica)
+  BENCH_FRAMES      frames         (default 60)
+  BENCH_WARMUP      frames excluded from timing (default 12, covers jit)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+
+def main():
+    H = int(os.environ.get("BENCH_H", 340))
+    W = int(os.environ.get("BENCH_W", 600))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 60))
+    warmup = int(os.environ.get("BENCH_WARMUP", 12))
+
+    from rtgslam_tpu.config import read_config, OptimizationParams
+    from rtgslam_tpu.data.synthetic import make_cameras
+    from rtgslam_tpu.slam import Mapper, Tracker
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    args = read_config(os.path.join(repo, "configs", "base.yaml"))
+    # Replica operating point (configs/replica_base.yaml): 50 iters every
+    # 6 frames, memory 5, ICP frame-to-model
+    args.memory_length = 5
+    args.gaussian_update_iter = 50
+    args.gaussian_update_frame = 6
+    args.stable_confidence_thres = 100
+    args.unstable_time_window = 120
+    args.uniform_sample_num = int(40800 * (H * W) / (680 * 1200))
+    args.use_gt_pose = False
+    args.icp_use_model_depth = True
+    args.max_depth = 8.0
+    args.save_step = 10 ** 9
+    args.save_path = "/tmp/bench_run"
+    opt = OptimizationParams().extract(args)
+
+    cams = make_cameras(n_frames=n_frames, H=H, W=W)
+    tracker = Tracker(args)
+    mapper = Mapper(args)
+
+    track_times, map_times = [], []
+    for i, cam in enumerate(cams):
+        t0 = time.time()
+        fm = tracker.map_preprocess(cam, i)
+        tracker.tracking(cam, fm)
+        t1 = time.time()
+        mapper.mapping(cam, fm, i, opt)
+        mapper.get_render_output(cam)
+        tracker.update_last_status(
+            cam, mapper.model_map["render_depth"], mapper.frame_map["depth_map"],
+            mapper.model_map["render_normal"], mapper.frame_map["normal_map_w"])
+        mapper.time += 1
+        t2 = time.time()
+        if i >= warmup:
+            track_times.append(t1 - t0)
+            map_times.append(t2 - t1)
+
+    mean_mapping = float(np.mean(map_times))
+    mean_tracking = float(np.mean(track_times))
+    fps = 1.0 / mean_mapping if mean_mapping > 0 else 0.0
+    ate = tracker.eval_ate()
+
+    from rtgslam_tpu.slam.eval import eval_frame
+
+    metrics = eval_frame(mapper, cams[-1])
+
+    result = {
+        "metric": "synthetic_room_online_mapping_fps",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+        "detail": {
+            "H": H, "W": W, "frames": n_frames,
+            "mean_tracking_ms": round(mean_tracking * 1e3, 2),
+            "mean_mapping_ms": round(mean_mapping * 1e3, 2),
+            "e2e_fps": round(1.0 / (mean_tracking + mean_mapping), 3),
+            "ate_cm": round(float(ate), 4),
+            "psnr": round(float(metrics["psnr"]), 3),
+            "depth_l1_cm": round(float(metrics["depth_l1_cm"]), 4),
+            "gaussians": mapper.get_unstable_num + mapper.get_stable_num,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

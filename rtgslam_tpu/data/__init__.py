@@ -1,0 +1,4 @@
+from .camera import Camera, CameraInfo, load_camera
+from .dataset import Dataset, scene_load_callbacks
+
+__all__ = ["Camera", "CameraInfo", "load_camera", "Dataset", "scene_load_callbacks"]

@@ -1,0 +1,259 @@
+"""Dataset readers: Replica, TUM-RGBD, ScanNet++/ours directory layouts.
+
+Produces lists of :class:`CameraInfo` with *paths* (decode happens in
+``load_camera`` / the prefetching loader) — unlike the reference
+(``scene/dataset_readers.py``) which eagerly loads PIL images, we keep the
+reader metadata-only so frame decode can be overlapped with device compute.
+
+Format contracts (reference ``scene/dataset_readers.py``):
+  Replica   results/frame*.jpg + results/depth*.png, traj.txt (4x4 rows,
+            normalized to the first pose), ../cam_params.json (:774-845)
+  TUM       rgb.txt/depth.txt/groundtruth.txt timestamp association,
+            config.yaml intrinsics + crop_edge (:545-660)
+  ours/     color/*.jpg|png, depth/*.png, pose/*.txt,
+  Scannetpp intrinsic/intrinsic_depth.txt, depth_scale=1000 (:968-1073)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Callable, Dict, List, NamedTuple, Optional
+
+import numpy as np
+import yaml
+
+from ..utils.geometry import focal2fov
+from .camera import CameraInfo
+
+
+class SceneInfo(NamedTuple):
+    train_cameras: List[CameraInfo]
+    test_cameras: List[CameraInfo]
+    nerf_normalization: dict
+    mesh_path: Optional[str]
+
+
+def _camera_infos(color_paths, depth_paths, poses, intrinsic, indices,
+                  depth_scale, timestamps, crop_edge=0, image_hw=None) -> List[CameraInfo]:
+    """Build CameraInfo records; pose convention: R = c2w rotation (stored
+    transposed from w2c), T = w2c translation (reference
+    ``readCameras``, dataset_readers.py:865-931)."""
+    infos = []
+    first_inv = np.eye(4)
+    for order, idx in enumerate(indices):
+        c2w = poses[idx]
+        if order == 0:
+            first_inv = np.linalg.inv(c2w)
+        if np.isinf(c2w).any():
+            continue
+        c2w = first_inv @ c2w
+        w2c = np.linalg.inv(c2w)
+        R = np.transpose(w2c[:3, :3])
+        T = w2c[:3, 3]
+
+        fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+        cx, cy = intrinsic[0, 2] - crop_edge, intrinsic[1, 2] - crop_edge
+        if image_hw is None:
+            import cv2
+
+            probe = cv2.imread(depth_paths[idx], cv2.IMREAD_UNCHANGED)
+            image_hw = probe.shape[:2]
+        h, w = image_hw[0] - 2 * crop_edge, image_hw[1] - 2 * crop_edge
+        infos.append(CameraInfo(
+            uid=order,
+            R=R,
+            T=T,
+            FovX=focal2fov(fx, w),
+            FovY=focal2fov(fy, h),
+            image_path=color_paths[idx],
+            depth_path=depth_paths[idx],
+            image_name=os.path.basename(color_paths[idx]).split(".")[0],
+            width=w,
+            height=h,
+            cx=cx,
+            cy=cy,
+            timestamp=timestamps[idx],
+            depth_scale=depth_scale,
+            pose_gt=c2w,
+        ))
+    return infos
+
+
+def _frame_indices(n_img: int, frame_start: int, frame_num: int, frame_step: int) -> List[int]:
+    count = n_img if frame_num == -1 else min(frame_num, n_img)
+    indices = [frame_start + i * (frame_step + 1) for i in range(count)]
+    return [i for i in indices if i < n_img]
+
+
+def _normalization(infos: List[CameraInfo]) -> dict:
+    if not infos:
+        return {"radius": 1.0, "translate": np.zeros(3)}
+    centers = []
+    for c in infos:
+        w2c = np.eye(4)
+        w2c[:3, :3] = c.R.T
+        w2c[:3, 3] = c.T
+        centers.append(np.linalg.inv(w2c)[:3, 3])
+    centers = np.stack(centers)
+    center = centers.mean(axis=0)
+    radius = float(np.max(np.linalg.norm(centers - center, axis=1)) * 1.1) or 1.0
+    return {"radius": radius, "translate": -center}
+
+
+# ---------------------------------------------------------------------------
+# Replica
+# ---------------------------------------------------------------------------
+
+def read_replica_scene(datapath, eval=False, llffhold=8, frame_start=0,
+                       frame_num=-1, frame_step=0) -> SceneInfo:
+    color_paths = sorted(glob.glob(f"{datapath}/results/frame*.jpg"))
+    depth_paths = sorted(glob.glob(f"{datapath}/results/depth*.png"))
+    n_img = len(color_paths)
+    timestamps = [i / 30.0 for i in range(n_img)]
+
+    with open(f"{datapath}/traj.txt") as f:
+        lines = f.readlines()
+    poses, first_inv = [], np.eye(4)
+    for i in range(n_img):
+        c2w = np.array(list(map(float, lines[i].split()))).reshape(4, 4)
+        if i == 0:
+            first_inv = np.linalg.inv(c2w)
+        poses.append(first_inv @ c2w)
+
+    with open(os.path.join(datapath, "../cam_params.json")) as f:
+        cam = json.load(f)["camera"]
+    intrinsic = np.array([[cam["fx"], 0, cam["cx"]],
+                          [0, cam["fx"], cam["cy"]],
+                          [0, 0, 1.0]])
+    indices = _frame_indices(n_img, frame_start, frame_num, frame_step)
+    infos = _camera_infos(color_paths, depth_paths, poses, intrinsic, indices,
+                          cam["scale"], timestamps, image_hw=(cam["h"], cam["w"]))
+    if eval:
+        train = [c for i, c in enumerate(infos) if (i + 1) % llffhold != 0]
+        test = [c for i, c in enumerate(infos) if (i + 1) % llffhold == 0]
+    else:
+        train, test = infos, []
+    mesh_path = os.path.join(datapath, os.path.basename(datapath) + ".ply")
+    return SceneInfo(train, test, _normalization(train), mesh_path)
+
+
+# ---------------------------------------------------------------------------
+# TUM RGBD
+# ---------------------------------------------------------------------------
+
+def read_tum_scene(datapath, eval=False, llffhold=8, frame_start=0,
+                   frame_num=-1, frame_step=0) -> SceneInfo:
+    from scipy.spatial.transform import Rotation
+
+    def parse_list(path, skiprows=0):
+        return np.loadtxt(path, delimiter=" ", dtype=np.str_, skiprows=skiprows)
+
+    pose_file = os.path.join(datapath, "groundtruth.txt")
+    if not os.path.isfile(pose_file):
+        pose_file = os.path.join(datapath, "pose.txt")
+    with open(os.path.join(datapath, "config.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    intrinsic = np.array([[cfg["fx"], 0, cfg["cx"]],
+                          [0, cfg["fy"], cfg["cy"]],
+                          [0, 0, 1.0]])
+
+    image_data = parse_list(os.path.join(datapath, "rgb.txt"))
+    depth_data = parse_list(os.path.join(datapath, "depth.txt"))
+    pose_data = parse_list(pose_file, skiprows=1)
+    t_img = image_data[:, 0].astype(np.float64)
+    t_dep = depth_data[:, 0].astype(np.float64)
+    t_pose = pose_data[:, 0].astype(np.float64)
+    pose_vecs = pose_data[:, 1:].astype(np.float64)
+
+    assoc = []
+    for i, t in enumerate(t_img):
+        j = int(np.argmin(np.abs(t_dep - t)))
+        k = int(np.argmin(np.abs(t_pose - t)))
+        if abs(t_dep[j] - t) < 0.08 and abs(t_pose[k] - t) < 0.08:
+            assoc.append((i, j, k))
+
+    # keep ~frame_rate fps (drop near-duplicate stamps)
+    keep = [0]
+    for i in range(1, len(assoc)):
+        if t_img[assoc[i][0]] - t_img[assoc[keep[-1]][0]] > 1.0 / 32:
+            keep.append(i)
+
+    indices = _frame_indices(len(keep), frame_start, frame_num, frame_step)
+    color_paths, depth_paths, poses, timestamps = [], [], [], []
+    for idx in indices:
+        i, j, k = assoc[keep[idx]]
+        color_paths.append(os.path.join(datapath, str(image_data[i, 1])))
+        depth_paths.append(os.path.join(datapath, str(depth_data[j, 1])))
+        pose = np.eye(4)
+        pose[:3, :3] = Rotation.from_quat(pose_vecs[k][3:]).as_matrix()
+        pose[:3, 3] = pose_vecs[k][:3]
+        poses.append(pose)
+        timestamps.append(float(t_img[i]))
+
+    infos = _camera_infos(color_paths, depth_paths, poses, intrinsic,
+                          list(range(len(poses))), cfg["depth_scale"], timestamps,
+                          crop_edge=cfg.get("crop_edge", 0))
+    if eval:
+        train = [c for i, c in enumerate(infos) if (i + 1) % llffhold != 0]
+        test = [c for i, c in enumerate(infos) if (i + 1) % llffhold == 0]
+    else:
+        train, test = infos, []
+    return SceneInfo(train, test, _normalization(train), None)
+
+
+# ---------------------------------------------------------------------------
+# ours / ScanNet++ (color/ depth/ pose/ directory layout)
+# ---------------------------------------------------------------------------
+
+def read_ours_scene(datapath, eval=False, llffhold=8, frame_start=0,
+                    frame_num=-1, frame_step=0, is_scannetpp=False) -> SceneInfo:
+    def by_stem(path):
+        return int(os.path.basename(path).split(".")[0])
+
+    color_paths = sorted(
+        glob.glob(f"{datapath}/color/*.jpg") + glob.glob(f"{datapath}/color/*.png"),
+        key=by_stem,
+    )
+    depth_paths = sorted(glob.glob(f"{datapath}/depth/*.png"), key=by_stem)
+    pose_paths = sorted(glob.glob(f"{datapath}/pose/*.txt"), key=by_stem)
+    n_img = len(color_paths)
+    timestamps = [(i + 1) / 30.0 for i in range(n_img)]
+    poses = [np.loadtxt(p) for p in pose_paths]
+    intrinsic = np.loadtxt(os.path.join(datapath, "intrinsic", "intrinsic_depth.txt"))
+
+    indices = _frame_indices(n_img, frame_start, frame_num, frame_step)
+    infos = _camera_infos(color_paths, depth_paths, poses, intrinsic, indices,
+                          1000.0, timestamps)
+    mesh_path = os.path.join(datapath, "mesh_aligned_cull.ply") if is_scannetpp else None
+    return SceneInfo(infos, [], _normalization(infos), mesh_path)
+
+
+scene_load_callbacks: Dict[str, Callable[..., SceneInfo]] = {
+    "Replica": read_replica_scene,
+    "TUM": read_tum_scene,
+    "Tum": read_tum_scene,
+    "Ours": read_ours_scene,
+    "ours": read_ours_scene,
+    "Scannetpp": lambda *a, **k: read_ours_scene(*a, **k, is_scannetpp=True),
+}
+
+
+class Dataset:
+    """Dataset facade dispatching on ``args.type`` (reference
+    ``scene/__init__.py:16-72``)."""
+
+    def __init__(self, args, shuffle=False, resolution_scales=(1.0,)):
+        loader = scene_load_callbacks.get(args.type)
+        if loader is None:
+            raise ValueError(f"Could not recognize scene type: {args.type}")
+        self.scene_info = loader(
+            args.source_path, args.eval, args.eval_llff,
+            args.frame_start, args.frame_num, args.frame_step,
+        )
+        self.cameras_extent = self.scene_info.nerf_normalization["radius"]
+        self.mesh_path = self.scene_info.mesh_path
+
+    def __len__(self):
+        return len(self.scene_info.train_cameras)

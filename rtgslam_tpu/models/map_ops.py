@@ -1,0 +1,367 @@
+"""Jitted Gaussian-map lifecycle operations with static shapes.
+
+Each function mirrors a reference mapper behavior (cited per function) but is
+reformulated mask/scatter-style over the fixed-capacity ``MapState``:
+spawning samples a *fixed-size* candidate set with a validity mask, deletion
+clears status flags, and all "dynamic" counts travel as traced scalars.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import sh as sh_utils
+from ..utils.geometry import quat_align_z_to, normalize
+from ..ops import knn as knn_ops
+from ..ops import segment as segment_ops
+from .gaussian_map import (
+    FREE, STABLE, UNSTABLE, GaussianMapConfig, MapState,
+    activated_opacity, gaussian_radius, derived_normal,
+)
+
+
+class TempPoints(NamedTuple):
+    """Fixed-capacity spawn staging buffer (the reference's
+    ``temp_pointcloud``, mapper.py:21,128-132)."""
+
+    xyz: jnp.ndarray      # [Kt, 3] world
+    normal: jnp.ndarray   # [Kt, 3] world
+    color: jnp.ndarray    # [Kt, 3]
+    opacity: jnp.ndarray  # [Kt, 1] raw logit
+    valid: jnp.ndarray    # [Kt] bool
+
+
+def inverse_sigmoid(x):
+    return jnp.log(x / (1.0 - x))
+
+
+# ---------------------------------------------------------------------------
+# pixel sampling
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_n",))
+def sample_masked_pixels(key, mask: jnp.ndarray, n_target, max_n: int):
+    """Uniformly sample up to ``n_target`` pixels where ``mask`` is set.
+
+    Static-shape version of ``sample_pixels`` (SLAM/utils.py:141-183): random
+    priorities + top_k instead of randperm.  Returns ([max_n] flat indices,
+    [max_n] valid).
+    """
+    flat = mask.reshape(-1)
+    r = jax.random.uniform(key, flat.shape)
+    priority = jnp.where(flat, r, -1.0)
+    vals, idx = jax.lax.top_k(priority, max_n)
+    rank = jnp.arange(max_n)
+    valid = (vals >= 0.0) & (rank < n_target)
+    return idx.astype(jnp.int32), valid
+
+
+@partial(jax.jit, static_argnames=("max_each",))
+def gather_temp_points(
+    vertex_w: jnp.ndarray, normal_w: jnp.ndarray, color: jnp.ndarray,
+    idx_a, valid_a, idx_b, valid_b, init_opacity: float, max_each: int,
+) -> TempPoints:
+    """Gather two sampled pixel groups into one temp buffer and
+    zero-normal-filter them (``add_empty_points``, gaussian_pointcloud.py:305-349)."""
+    idx = jnp.concatenate([idx_a, idx_b])
+    valid = jnp.concatenate([valid_a, valid_b])
+    vflat = vertex_w.reshape(-1, 3)
+    nflat = normal_w.reshape(-1, 3)
+    cflat = color.reshape(-1, 3)
+    xyz = vflat[idx]
+    nrm = nflat[idx]
+    col = cflat[idx]
+    valid = valid & (jnp.sum(jnp.abs(nrm), axis=-1) > 0)
+    nrm = normalize(nrm)
+    opa = jnp.full((idx.shape[0], 1), inverse_sigmoid(init_opacity), jnp.float32)
+    return TempPoints(xyz=xyz, normal=nrm, color=col, opacity=opa, valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# spawn pipeline
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def temp_filter_dedup(temp: TempPoints, state: MapState) -> TempPoints:
+    """Drop temp points inside an existing unstable gaussian's 0.6-radius
+    3-NN neighbourhood (``temp_points_filter``, mapper.py:797-826)."""
+    unstable = state.status == UNSTABLE
+    d2, idx = knn_ops.knn(temp.xyz, state.xyz, unstable, k=3)
+    radius = gaussian_radius(state.scaling)
+    corr = jnp.where(idx >= 0, radius[jnp.clip(idx, 0)] * 0.6, 0.0)
+    inside = jnp.any(jnp.sqrt(jnp.where(jnp.isinf(d2), jnp.inf, d2)) < corr, axis=-1)
+    has_unstable = jnp.any(unstable)
+    return temp._replace(valid=temp.valid & ~(inside & has_unstable))
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def temp_attach_to_stable(
+    temp: TempPoints, state: MapState, stable_color_index: jnp.ndarray,
+    w2c: jnp.ndarray, K: jnp.ndarray, height: int, width: int,
+    add_depth_thres: float, low_opacity: float = 0.1,
+) -> TempPoints:
+    """Project temp points; those landing on a rendered *stable* gaussian
+    within half the depth-spawn threshold of its plane get demoted to low
+    opacity (``temp_points_attach``, mapper.py:829-881)."""
+    p_c = jnp.matmul(temp.xyz, w2c[:3, :3].T,
+                     precision=jax.lax.Precision.HIGHEST) + w2c[:3, 3]
+    z = jnp.maximum(p_c[:, 2], 1e-6)
+    u = jnp.floor(K[0, 0] * p_c[:, 0] / z + K[0, 2]).astype(jnp.int32)
+    v = jnp.floor(K[1, 1] * p_c[:, 1] / z + K[1, 2]).astype(jnp.int32)
+    inview = (u >= 0) & (u < width) & (v >= 0) & (v < height) & (p_c[:, 2] > 0)
+    uc = jnp.clip(u, 0, width - 1)
+    vc = jnp.clip(v, 0, height - 1)
+    sidx = stable_color_index[vc, uc]
+    hit = inview & (sidx >= 0)
+    gi = jnp.clip(sidx, 0)
+    s_normal = derived_normal(state.scaling, state.rotation)[gi]
+    s_xyz = state.xyz[gi]
+    plane_d = jnp.abs(jnp.sum((s_xyz - temp.xyz) * s_normal, axis=-1))
+    attach = hit & (plane_d < 0.5 * add_depth_thres) & temp.valid
+    new_opa = jnp.where(
+        attach[:, None],
+        inverse_sigmoid(jnp.full_like(temp.opacity, low_opacity)),
+        temp.opacity,
+    )
+    return temp._replace(opacity=new_opa)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def temp_scale_init(temp: TempPoints, state: MapState,
+                    config: GaussianMapConfig) -> Tuple[TempPoints, jnp.ndarray]:
+    """3-NN based scale initialization + crowding rejection
+    (``update_geometry``, gaussian_pointcloud.py:366-405; the CUDA
+    ``distCUDA2`` fork becomes :func:`rtgslam_tpu.ops.knn.knn`).
+
+    Returns (filtered temp, log-scales [Kt, 3]).
+    """
+    alive = state.status != FREE
+    ref_xyz = jnp.concatenate([temp.xyz, state.xyz], axis=0)
+    ref_valid = jnp.concatenate([temp.valid, alive], axis=0)
+    temp_radius = jnp.zeros(temp.xyz.shape[0])  # fresh temp scales ~1e-6
+    ref_radius = jnp.concatenate([temp_radius, gaussian_radius(state.scaling)])
+
+    d2, idx = knn_ops.knn(temp.xyz, ref_xyz, ref_valid, k=4)
+    d2, idx = d2[:, 1:], idx[:, 1:]  # drop self-match
+    safe_idx = jnp.clip(idx, 0)
+    dist = jnp.sqrt(jnp.where(jnp.isinf(d2), 1e12, d2)) - 3.0 * ref_radius[safe_idx]
+    dist = jnp.where(idx >= 0, dist, 1e6)
+
+    crowded = jnp.any(dist < 0, axis=-1)
+    valid = temp.valid & ~crowded
+
+    mean_sq = jnp.mean(jnp.minimum(dist, 1e3) ** 2, axis=-1)
+    scales = jnp.clip(jnp.sqrt(mean_sq), config.min_radius, config.max_radius)
+    factor = jnp.asarray(config.xyz_factor, jnp.float32)
+    log_scales = jnp.log(config.scale_factor * scales[:, None] * factor[None, :]
+                         + 1e-12)
+    return temp._replace(valid=valid), log_scales
+
+
+@partial(jax.jit, static_argnames=("config",))
+def insert_temp(state: MapState, temp: TempPoints, log_scales: jnp.ndarray,
+                time, config: GaussianMapConfig) -> Tuple[MapState, jnp.ndarray]:
+    """Scatter valid temp points into FREE slots as UNSTABLE gaussians
+    (``temp_to_optimize`` -> ``pointcloud.cat``, mapper.py:884-896).
+
+    Returns (state, inserted count).  Capacity overflow silently drops the
+    tail (observable through the returned count vs temp validity sum).
+    """
+    P = state.capacity
+    Kt = temp.xyz.shape[0]
+    free = jnp.nonzero(state.status == FREE, size=Kt, fill_value=P)[0]
+    free_rank = jnp.arange(Kt)
+    n_free = jnp.sum(state.status == FREE)
+
+    # pack valid temp entries first so they pair with the first free slots
+    order = jnp.argsort(~temp.valid)  # valid rows first, stable
+    t_xyz = temp.xyz[order]
+    t_normal = temp.normal[order]
+    t_color = temp.color[order]
+    t_opa = temp.opacity[order]
+    t_scales = log_scales[order]
+    t_valid = temp.valid[order] & (free_rank < n_free)
+
+    # invalid rows scatter out of bounds and are dropped; valid free slots are
+    # unique, so the scatter is race-free
+    slots = jnp.where(t_valid, free, P)
+    if isinstance(config.xyz_factor, tuple) and all(f == 1.0 for f in config.xyz_factor):
+        rots = jnp.zeros((Kt, 4)).at[:, 0].set(1.0)
+    else:
+        rots = quat_align_z_to(t_normal)
+    f_dc = sh_utils.rgb_to_sh(t_color)
+
+    def scatter(arr, new_vals):
+        return arr.at[slots].set(new_vals.astype(arr.dtype), mode="drop")
+
+    new_state = state.replace(
+        xyz=scatter(state.xyz, t_xyz),
+        features_dc=scatter(state.features_dc, f_dc),
+        features_rest=scatter(state.features_rest,
+                              jnp.zeros((Kt,) + state.features_rest.shape[1:])),
+        scaling=scatter(state.scaling, t_scales),
+        rotation=scatter(state.rotation, rots),
+        opacity=scatter(state.opacity, t_opa),
+        confidence=scatter(state.confidence, jnp.zeros((Kt, 1))),
+        add_tick=scatter(state.add_tick,
+                         jnp.full((Kt, 1), time, jnp.int32)),
+        depth_error_counter=scatter(state.depth_error_counter,
+                                    jnp.zeros((Kt, 1), jnp.int32)),
+        color_error_counter=scatter(state.color_error_counter,
+                                    jnp.zeros((Kt, 1), jnp.int32)),
+        status=scatter(state.status, jnp.full((Kt,), UNSTABLE, jnp.int32)),
+    )
+    return new_state, jnp.sum(t_valid)
+
+
+# ---------------------------------------------------------------------------
+# lifecycle
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def fix_confident(state: MapState, stable_confidence_thres: float) -> MapState:
+    """UNSTABLE -> STABLE when confidence exceeds the threshold; confidence
+    clipped at the threshold (``gaussians_fix``, mapper.py:253-271)."""
+    promote = (state.status == UNSTABLE) & (
+        state.confidence[:, 0] > stable_confidence_thres)
+    return state.replace(
+        status=jnp.where(promote, STABLE, state.status),
+        confidence=jnp.where(promote[:, None],
+                             jnp.minimum(state.confidence, stable_confidence_thres),
+                             state.confidence),
+    )
+
+
+@jax.jit
+def fix_all(state: MapState) -> MapState:
+    """Promote every unstable gaussian (final global opt, mapper.py:596-597)."""
+    return state.replace(status=jnp.where(state.status == UNSTABLE, STABLE, state.status))
+
+
+@partial(jax.jit, static_argnames=("unstable",))
+def delete_gaussians(state: MapState, time, unstable_time_window: float,
+                     unstable: bool = True) -> MapState:
+    """Free oversized gaussians (radius > 10x pool mean) and, for the
+    unstable pool, gaussians that never stabilized within the time window
+    (``gaussians_delete``, mapper.py:298-333)."""
+    pool = state.status == (UNSTABLE if unstable else STABLE)
+    radius = gaussian_radius(state.scaling)
+    pool_n = jnp.maximum(jnp.sum(pool), 1)
+    mean_radius = jnp.sum(jnp.where(pool, radius, 0.0)) / pool_n
+    big = pool & (radius > mean_radius * 10.0)
+    if unstable:
+        old = pool & ((time - state.add_tick[:, 0]) > unstable_time_window)
+        kill = big | old
+    else:
+        kill = big
+    return state.replace(status=jnp.where(kill, FREE, state.status))
+
+
+@partial(jax.jit, static_argnames=("num_gaussians",))
+def error_update(
+    state: MapState,
+    render_color, render_depth, render_normal, depth_index, color_index,
+    gt_color, gt_depth,
+    add_color_thres: float, add_depth_thres: float,
+    time, num_gaussians: int,
+) -> MapState:
+    """Per-gaussian error bookkeeping + self-healing
+    (``error_gaussians_remove``, mapper.py:510-591 — the CUDA
+    ``accumulate_gaussian_error`` becomes a segment reduction).
+
+    Stable gaussians accumulating mean depth error > 2x spawn threshold get a
+    depth strike; color likewise.  >= 10 depth strikes -> delete; >= 10 color
+    strikes -> confidence reset + re-aged (``gaussians_release``,
+    mapper.py:286-295).
+    """
+    gt_d = gt_depth[..., 0] if gt_depth.ndim == 3 else gt_depth
+    r_d = render_depth[..., 0] if render_depth.ndim == 3 else render_depth
+    depth_err = jnp.maximum(gt_d - r_d, 0.0)  # only under-estimation counts
+    color_err = jnp.sum(jnp.abs(gt_color - render_color), axis=-1)
+    invalid = (gt_d == 0) | (depth_index < 0)
+    depth_err = jnp.where(invalid, 0.0, depth_err)
+    color_err = jnp.where(gt_d == 0, 0.0, color_err)
+    normal_err = jnp.zeros_like(depth_err)
+
+    g_color, g_depth, _ = segment_ops.accumulate_gaussian_error(
+        color_err, depth_err, normal_err, color_index, depth_index,
+        num_gaussians=num_gaussians)
+
+    stable = state.status == STABLE
+    depth_strike = stable & (g_depth > 2.0 * add_depth_thres)
+    color_strike = stable & (g_color > 2.0 * add_color_thres)
+    dec = state.depth_error_counter + depth_strike[:, None].astype(jnp.int32)
+    cec = state.color_error_counter + color_strike[:, None].astype(jnp.int32)
+
+    delete = stable & (dec[:, 0] >= 10)
+    release = stable & (cec[:, 0] >= 10) & ~delete
+    return state.replace(
+        depth_error_counter=dec,
+        color_error_counter=cec,
+        status=jnp.where(delete, FREE, state.status),
+        confidence=jnp.where(release[:, None], 0.0, state.confidence),
+        add_tick=jnp.where(release[:, None], time, state.add_tick),
+    )
+
+
+# ---------------------------------------------------------------------------
+# history merge
+# ---------------------------------------------------------------------------
+
+def _slerp(q0: jnp.ndarray, q1: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Batched spherical interpolation with lerp fallback for near-colinear
+    quaternions (``SLAM/utils.py:593-652``)."""
+    q0n, q1n = normalize(q0), normalize(q1)
+    dot = jnp.sum(q0n * q1n, axis=-1, keepdims=True)
+    colinear = jnp.abs(dot) > 0.9995
+    theta0 = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    sin0 = jnp.sin(theta0)
+    safe_sin0 = jnp.where(jnp.abs(sin0) < 1e-6, 1.0, sin0)
+    s0 = jnp.sin((1 - t) * theta0) / safe_sin0
+    s1 = jnp.sin(t * theta0) / safe_sin0
+    slerped = s0 * q0 + s1 * q1
+    lerped = q0 + t * (q1 - q0)
+    return jnp.where(colinear, lerped, slerped)
+
+
+@jax.jit
+def history_merge(state: MapState, hist: Dict[str, jnp.ndarray],
+                  max_weight: float, update_mask: jnp.ndarray) -> MapState:
+    """EMA the optimized parameters toward their pre-optimization values,
+    weighted by how confident each gaussian already was
+    (``history_merge``, mapper.py:212-250).
+
+    The reference indexes a scalar ``history_weight[0]`` for the feature /
+    scaling merges — we use the principled per-gaussian weight throughout.
+    Rotation is slerped in activated space.
+    """
+    w = max_weight * hist["confidence"] / (state.confidence + 1e-6)  # [P, 1]
+    w = jnp.where(update_mask[:, None], w, 0.0)
+
+    rot = _slerp(hist["rotation_act"], normalize(state.rotation), 1.0 - w)
+    return state.replace(
+        xyz=hist["xyz"] * w + (1 - w) * state.xyz,
+        features_dc=hist["features_dc"] * w + (1 - w) * state.features_dc,
+        features_rest=hist["features_rest"] * w[..., None] + (1 - w[..., None]) * state.features_rest,
+        scaling=hist["scaling"] * w + (1 - w) * state.scaling,
+        rotation=rot,
+    )
+
+
+def capture_history(state: MapState) -> Dict[str, jnp.ndarray]:
+    """Snapshot the merge-relevant parameters before optimization
+    (mapper.py:146-155)."""
+    return {
+        "xyz": state.xyz,
+        "features_dc": state.features_dc,
+        "features_rest": state.features_rest,
+        "scaling": state.scaling,
+        "rotation_act": normalize(state.rotation),
+        "rotation_raw": state.rotation,
+        "opacity": state.opacity,
+        "confidence": state.confidence,
+    }

@@ -1,0 +1,174 @@
+"""Fused Gaussian-map optimization loop.
+
+The reference's hot loop (``local_optimize`` mapper.py:143-210 /
+``global_optimization`` mapper.py:594-712) alternates render -> backward ->
+Adam per iteration from Python.  Here the WHOLE loop — render (differentiable
+blend), loss, gradient, masked sparse Adam, confidence bump — runs inside one
+``lax.fori_loop`` under a single jit: zero host round-trips per iteration,
+which is what makes the >=30 FPS budget feasible on TPU.
+
+Loss semantics (``loss_update``, mapper.py:371-469):
+  * masked L1 color over the frame's render mask;
+  * masked L1 depth where the opaque-depth hit exists, gt depth > 0 and the
+    signed error is below the spawn threshold;
+  * optional cosine normal loss;
+  * "attach" anchor: gaussians whose pre-optimization opacity < 0.9 are
+    pulled toward their snapshot xyz/scaling/rotation with weight 1000;
+  * SSIM only applies when no render mask is given (never in the SLAM path).
+
+Adam matches ``torch.optim.Adam(eps=1e-15)`` with per-group learning rates
+(``parametrize``, gaussian_pointcloud.py:245-284) and a fresh state per call.
+Updates are masked to the optimized pool (unstable for local, stable for
+global) — the reference achieves the same by only parametrizing that pool.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rasterize.api import RasterSettings, _render_impl
+from .gaussian_map import (
+    MapState, activated_opacity, activated_scales, derived_normal,
+    shs_from_features,
+)
+from ..utils.geometry import normalize
+from .losses import masked_mean
+
+ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-15
+
+PARAM_KEYS = ("xyz", "features_dc", "features_rest", "scaling", "rotation", "opacity")
+
+
+class FrameBatch(NamedTuple):
+    """Stacked per-frame optimization inputs (device arrays, leading dim F)."""
+
+    color: jnp.ndarray        # [F, H, W, 3]
+    depth: jnp.ndarray        # [F, H, W]
+    normal: jnp.ndarray       # [F, H, W, 3]
+    w2c: jnp.ndarray          # [F, 4, 4]
+    K: jnp.ndarray            # [F, 3, 3]
+    campos: jnp.ndarray       # [F, 3]
+    render_mask: jnp.ndarray  # [F, H, W] bool
+    tile_mask: jnp.ndarray    # [F, ty, tx] int32
+
+
+def _loss_fn(params: Dict[str, jnp.ndarray], aux, frame, settings: RasterSettings,
+             hyper: Dict[str, jnp.ndarray]):
+    gauss = {
+        "xyz": params["xyz"],
+        "scales": activated_scales(params["scaling"]),
+        "rotations": normalize(params["rotation"]),
+        "opacity": activated_opacity(params["opacity"]),
+        "shs": shs_from_features(params["features_dc"], params["features_rest"]),
+        "normal": derived_normal(params["scaling"], params["rotation"]),
+        "alive": aux["render_alive"],
+    }
+    out = _render_impl.__wrapped__(
+        gauss, frame["w2c"], frame["K"], frame["campos"], frame["tile_mask"],
+        settings, True, True)
+
+    rmask = frame["render_mask"]
+    color_loss = masked_mean(
+        jnp.sum(jnp.abs(out["render"] - frame["color"]), axis=-1) / 3.0, rmask)
+    # the reference takes l1 over 3 channels of masked pixels: same mean
+
+    depth = out["depth"][..., 0]
+    gt_depth = frame["depth"]
+    depth_err = depth - gt_depth
+    dmask = (out["depth_index_map"] >= 0) & (gt_depth > 0) \
+        & (depth_err < hyper["add_depth_thres"]) & rmask
+    depth_loss = masked_mean(jnp.abs(depth_err), dmask)
+
+    gt_normal = frame["normal"]
+    cos = jnp.sum(out["normal"] * gt_normal, axis=-1) / (
+        jnp.linalg.norm(out["normal"], axis=-1)
+        * jnp.linalg.norm(gt_normal, axis=-1) + 1e-8)
+    nmask = rmask & (out["depth_index_map"] >= 0) \
+        & jnp.any(gt_normal != 0, axis=-1)
+    normal_loss = masked_mean(1.0 - cos, nmask)
+
+    # attach anchor on low-opacity gaussians (row-masked means)
+    attach_rows = (activated_opacity(hyper["hist_opacity"])[:, 0] < 0.9) \
+        & aux["update_mask"]
+
+    def row_l2(a, b):
+        per_row = jnp.mean((a - b).reshape(a.shape[0], -1) ** 2, axis=-1)
+        return masked_mean(per_row, attach_rows)
+
+    attach_loss = 1000.0 * (
+        row_l2(params["scaling"], hyper["hist_scaling"])
+        + row_l2(params["xyz"], hyper["hist_xyz"])
+        + row_l2(params["rotation"], hyper["hist_rotation_raw"])
+    )
+
+    total = (hyper["color_weight"] * color_loss
+             + hyper["depth_weight"] * depth_loss
+             + hyper["normal_weight"] * normal_loss)
+    report = {"total": total, "color": color_loss, "depth": depth_loss,
+              "normal": normal_loss, "attach": attach_loss}
+    return total + attach_loss, report
+
+
+def _adam_step(params, grads, m, v, step, lrs, update_mask):
+    new_params, new_m, new_v = {}, {}, {}
+    t = step.astype(jnp.float32) + 1.0
+    c1 = 1.0 - ADAM_B1 ** t
+    c2 = 1.0 - ADAM_B2 ** t
+    for k in PARAM_KEYS:
+        g = grads[k]
+        mask = update_mask.reshape((-1,) + (1,) * (g.ndim - 1))
+        g = jnp.where(mask, g, 0.0)
+        m_k = ADAM_B1 * m[k] + (1 - ADAM_B1) * g
+        v_k = ADAM_B2 * v[k] + (1 - ADAM_B2) * g * g
+        update = lrs[k] * (m_k / c1) / (jnp.sqrt(v_k / c2) + ADAM_EPS)
+        new_params[k] = params[k] - jnp.where(mask, update, 0.0)
+        new_m[k], new_v[k] = m_k, v_k
+    return new_params, new_m, new_v
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def run_optimize(
+    state: MapState,
+    frames: FrameBatch,
+    frame_seq: jnp.ndarray,       # [n_max] int32 frame index per iteration
+    n_iters,                      # traced scalar <= len(frame_seq)
+    render_alive: jnp.ndarray,    # [P] bool: pool rendered each iteration
+    update_mask: jnp.ndarray,     # [P] bool: pool receiving updates
+    lrs: Dict[str, jnp.ndarray],
+    hyper: Dict[str, jnp.ndarray],
+    settings: RasterSettings,
+):
+    """Run the optimization loop; returns (state', confidence-aware, report)."""
+    params = state.params()
+    zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
+    aux = {"render_alive": render_alive, "update_mask": update_mask}
+
+    def body(i, carry):
+        params, m, v, confidence, _ = carry
+        f = frame_seq[i]
+        frame = {
+            "color": frames.color[f],
+            "depth": frames.depth[f],
+            "normal": frames.normal[f],
+            "w2c": frames.w2c[f],
+            "K": frames.K[f],
+            "campos": frames.campos[f],
+            "render_mask": frames.render_mask[f],
+            "tile_mask": frames.tile_mask[f],
+        }
+        (_, report), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+            params, aux, frame, settings, hyper)
+        params, m, v = _adam_step(params, grads, m, v, i, lrs, update_mask)
+        touched = jnp.any(grads["features_dc"] != 0, axis=-1) & update_mask
+        confidence = confidence + touched[:, None].astype(jnp.float32)
+        return params, m, v, confidence, report
+
+    init_report = {k: jnp.float32(0) for k in ("total", "color", "depth", "normal", "attach")}
+    params, _, _, confidence, report = jax.lax.fori_loop(
+        0, n_iters, body,
+        (params, zeros, dict(zeros), state.confidence, init_report))
+    return state.with_params(params).replace(confidence=confidence), report

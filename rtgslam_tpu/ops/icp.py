@@ -1,0 +1,276 @@
+"""Projective point-to-plane ICP, fully jitted.
+
+TPU-native reformulation of the reference tracker (``SLAM/icp.py``): the
+per-level Gauss-Newton iteration runs inside ``lax.fori_loop`` with the 6x6
+LM-damped system solved on device via ``jnp.linalg.solve`` (the reference
+round-trips to CPU for the inverse, icp.py:313-325 — unnecessary on TPU).
+Data association is nearest-neighbour projective warping with border clamp,
+matching ``warp_features`` (icp.py:132-148, mode="nearest",
+padding_mode="border", align_corners=True).
+
+Twist convention [rot, trans] and the left-Jacobian exponential match
+``exp_se3`` (icp.py:271-310) so poses are interchangeable with the reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.geometry import exp_se3
+from . import preprocess
+
+
+def warp_nearest(feat: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Sample [H,W,C] at real-valued pixel coords with nearest + border clamp."""
+    H, W = feat.shape[:2]
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
+    return feat[vi, ui]
+
+
+def warp_bilinear(feat: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling with border clamp.
+
+    Sub-pixel data association: the reference associates with nearest
+    sampling (icp.py:132-148), whose +-0.5 px rounding puts a flat
+    several-mm noise floor into the point-to-plane cost on oblique surfaces;
+    bilinear association removes that floor, cutting drift substantially.
+    Zero-depth (invalid) neighbours would corrupt interpolation, so any
+    sample touching an invalid pixel falls back to nearest.
+    """
+    H, W = feat.shape[:2]
+    u = jnp.clip(u, 0.0, W - 1.0)
+    v = jnp.clip(v, 0.0, H - 1.0)
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
+    du = (u - u0)[..., None]
+    dv = (v - v0)[..., None]
+    f00 = feat[v0, u0]
+    f01 = feat[v0, u0 + 1]
+    f10 = feat[v0 + 1, u0]
+    f11 = feat[v0 + 1, u0 + 1]
+    interp = ((1 - dv) * ((1 - du) * f00 + du * f01)
+              + dv * ((1 - du) * f10 + du * f11))
+    corners_valid = ((f00[..., 2] != 0) & (f01[..., 2] != 0)
+                     & (f10[..., 2] != 0) & (f11[..., 2] != 0))
+    nearest = warp_nearest(feat, u, v)
+    return jnp.where(corners_valid[..., None], interp, nearest)
+
+
+def residuals_jacobian(vertex0, vertex1, normal0, normal1, pose10, K,
+                       distance_threshold, normal_threshold,
+                       association: str = "bilinear"):
+    """Point-to-plane residuals + analytic Jacobians (icp.py:51-104).
+
+    vertex0/normal0: source maps warped by pose10 into the target (1) frame;
+    vertex1/normal1: target maps sampled at the projected locations.
+    Returns res [H,W], J [H,W,6], valid [H,W].
+    """
+    R, t = pose10[:3, :3], pose10[:3, 3]
+    H, W = vertex0.shape[:2]
+    mask0 = vertex0[..., 2] > 0.0
+
+    v0_in_1 = vertex0 @ R.T + t
+    n0_in_1 = normal0 @ R.T
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    x, y, z = v0_in_1[..., 0], v0_in_1[..., 1], v0_in_1[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = (x / z_safe) * fx + cx
+    v = (y / z_safe) * fy + cy
+    inview = (u > 0) & (u < W - 1) & (v > 0) & (v < H - 1) & (z > 0)
+
+    warp = warp_bilinear if association == "bilinear" else warp_nearest
+    r_vertex1 = warp(vertex1, u, v)
+    r_normal1 = warp(normal1, u, v)
+    if association == "bilinear":
+        r_normal1 = r_normal1 / (jnp.linalg.norm(r_normal1, axis=-1, keepdims=True) + 1e-8)
+    mask1 = r_vertex1[..., 2] > 0.0
+    diff = v0_in_1 - r_vertex1
+
+    normal_agree = jnp.sum(n0_in_1 * r_normal1, axis=-1) > normal_threshold
+    res = jnp.sum(r_normal1 * diff, axis=-1)
+
+    # J_rot = -n x ... : row vector n^T @ -skew(p) == cross(p, n)
+    J_trs = r_normal1
+    J_rot = jnp.cross(v0_in_1, r_normal1)
+    J = jnp.concatenate([J_rot, J_trs], axis=-1)  # order [rot, trans]
+
+    far = jnp.linalg.norm(diff, axis=-1) > distance_threshold
+    valid = inview & ~far & mask0 & mask1 & normal_agree
+    res = jnp.where(valid, res, 0.0)
+    J = jnp.where(valid[..., None], J, 0.0)
+    return res, J, valid
+
+
+def _gn_update(res, J, pose10, damping):
+    """One damped Gauss-Newton step: (JᵀJ + λ tr diag) ξ = -Jᵀr, pose ← exp(ξ)·pose."""
+    Jf = J.reshape(-1, 6)
+    rf = res.reshape(-1)
+    JtJ = Jf.T @ Jf                      # 6x6 via MXU-friendly matmul
+    JtR = Jf.T @ rf
+    eye = jnp.eye(6, dtype=JtJ.dtype)
+    H = JtJ + (jnp.trace(JtJ) * damping) * eye
+    xi = -jnp.linalg.solve(H, JtR)
+    return exp_se3(xi) @ pose10
+
+
+@partial(jax.jit, static_argnames=("max_iter", "association"))
+def icp_level(pose10, vertex0, vertex1, normal0, normal1, K,
+              max_iter: int, damping: float,
+              distance_threshold: float, normal_threshold: float,
+              association: str = "bilinear"):
+    """Run ``max_iter`` GN iterations at one pyramid level (icp.py:33-48)."""
+
+    def body(_, carry):
+        pose, _ = carry
+        res, J, valid = residuals_jacobian(
+            vertex0, vertex1, normal0, normal1, pose, K,
+            distance_threshold, normal_threshold, association)
+        pose = _gn_update(res, J, pose, damping)
+        return pose, jnp.mean(valid.astype(jnp.float32))
+
+    # geometry needs true f32 matmuls: bf16 MXU passes put millimetres of
+    # noise into residuals, which the 6x6 solve amplifies
+    with jax.default_matmul_precision("highest"):
+        pose10, valid_ratio = jax.lax.fori_loop(
+            0, max_iter, body, (pose10, jnp.float32(0.0)))
+    return pose10, valid_ratio
+
+
+@jax.jit
+def point2plane_loss(p_t0, p_t1, n_t0):
+    """Mean squared point-to-plane distance (icp.py:7-13)."""
+    d = jnp.sum((p_t1 - p_t0) * n_t0, axis=-1)
+    return jnp.mean(d * d)
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def build_icp_pyramids(depth: jnp.ndarray, K: jnp.ndarray, levels: int):
+    """Depth -> per-level (vertex, normal) maps; max-pooled depth, intrinsics
+    scaled per level (reference ``build_vertex_pyramid``, SLAM/utils.py:511-527)."""
+    depths = preprocess.depth_pyramid(depth, levels, pool="max")
+    vertex, normal = [], []
+    for i, d in enumerate(depths):
+        scale = 1.0 / (1 << (levels - 1 - i))
+        Ks = K * scale
+        Ks = Ks.at[2, 2].set(1.0)
+        vm = preprocess.compute_vertex_map(d, Ks)
+        vertex.append(vm)
+        normal.append(preprocess.compute_normal_map(vm))
+    return vertex, normal
+
+
+class IcpTracker:
+    """Pyramid ICP front-end holding the previous-frame (or model) pyramids.
+
+    Mirrors the reference ``IcpTracker`` (icp.py:357-452): coarse-to-fine
+    levels with per-level iteration counts, optional frame-to-model depth,
+    and a point-to-plane loss based failure signal.
+    """
+
+    def __init__(self, args):
+        self.downscales = list(args.icp_downscales)
+        self.iters = list(args.icp_downscale_iters)
+        self.levels = len(self.downscales)
+        self.damping = float(args.icp_damping)
+        self.distance_threshold = float(args.icp_distance_threshold)
+        self.normal_threshold = float(np.cos(np.deg2rad(args.icp_normal_threshold)))
+        self.sample_distance_threshold = float(args.icp_sample_distance_threshold)
+        self.sample_normal_threshold = float(args.icp_sample_normal_threshold)
+        self.fail_threshold = float(args.icp_fail_threshold)
+        self.use_model_depth = bool(args.icp_use_model_depth)
+        self.warmup_frames = int(args.icp_warmup_frames)
+        self.association = str(getattr(args, "icp_association", "bilinear"))
+
+        # constant-velocity prior: seed each solve with the previous relative
+        # pose instead of identity (the reference starts at identity,
+        # icp.py:428; a motion-model seed keeps coarse-level GN inside the
+        # correct basin on low-texture geometry)
+        self.use_motion_model = str(getattr(
+            args, "icp_initializer", "constant_velocity")) == "constant_velocity"
+        self.last_rel = np.eye(4, dtype=np.float32)
+
+        self.K = None
+        self.vertex_t0 = None
+        self.normal_t0 = None
+        self.vertex_t1 = None
+        self.normal_t1 = None
+        self.depth_t1 = None
+        self.last_model_depth = None
+
+    # -- per-frame state ----------------------------------------------------
+    def update_curr_status(self, depth_t1: jnp.ndarray, K: jnp.ndarray) -> None:
+        if self.K is None:
+            self.K = jnp.asarray(K, jnp.float32)
+        self.depth_t1 = depth_t1
+        self.vertex_t1, self.normal_t1 = build_icp_pyramids(
+            depth_t1, self.K, self.levels)
+
+    def move_last_status(self) -> None:
+        self.vertex_t0 = self.vertex_t1
+        self.normal_t0 = self.normal_t1
+        self.last_model_depth = self.depth_t1
+
+    def update_last_status(self, render_depth, frame_depth, render_normal, frame_normal):
+        """Fuse rendered model depth with the sensor depth for the next
+        frame's target pyramid (reference icp.py:397-415)."""
+        self.last_model_depth = fuse_model_depth(
+            render_depth, frame_depth, render_normal, frame_normal,
+            self.sample_distance_threshold, self.sample_normal_threshold)
+
+    # -- pose estimation ----------------------------------------------------
+    def predict_pose(self, depth_t1=None) -> Tuple[np.ndarray, bool]:
+        """Estimate the relative pose T_{t0<-t1} and a success flag."""
+        if self.vertex_t0 is None:
+            return np.eye(4), True
+        if self.use_model_depth and self.last_model_depth is not None:
+            self.vertex_t0, self.normal_t0 = build_icp_pyramids(
+                self.last_model_depth, self.K, self.levels)
+
+        pose10 = (jnp.asarray(self.last_rel) if self.use_motion_model
+                  else jnp.eye(4, dtype=jnp.float32))
+        valid_ratio = None
+        for level in range(self.levels):
+            scale = self.downscales[level]
+            Ks = self.K * scale
+            Ks = Ks.at[2, 2].set(1.0)
+            pose10, valid_ratio = icp_level(
+                pose10,
+                self.vertex_t1[level], self.vertex_t0[level],
+                self.normal_t1[level], self.normal_t0[level],
+                Ks, self.iters[level], self.damping,
+                self.distance_threshold, self.normal_threshold,
+                self.association)
+
+        p2p = point2plane_loss(
+            self.vertex_t0[-1],
+            self.vertex_t1[-1] @ pose10[:3, :3].T + pose10[:3, 3],
+            self.normal_t0[-1])
+        success = bool(p2p <= self.fail_threshold)
+        self.last_rel = (np.asarray(pose10, np.float32) if success
+                         else np.eye(4, dtype=np.float32))
+        return np.asarray(pose10), success
+
+
+@jax.jit
+def fuse_model_depth(render_depth, frame_depth, render_normal, frame_normal,
+                     sample_distance_threshold, sample_normal_threshold):
+    """Fill model-rendered depth with sensor depth where the model disagrees
+    or is empty (reference icp.py:397-415)."""
+    rd = render_depth[..., 0] if render_depth.ndim == 3 else render_depth
+    fd = frame_depth[..., 0] if frame_depth.ndim == 3 else frame_depth
+    cos = jnp.sum(
+        render_normal * frame_normal, axis=-1
+    ) / (jnp.linalg.norm(render_normal, axis=-1) *
+         jnp.linalg.norm(frame_normal, axis=-1) + 1e-8)
+    normal_mask = (1.0 - cos) > sample_normal_threshold
+    fill = ((jnp.abs(rd - fd) > sample_distance_threshold)
+            | (rd == 0)
+            | normal_mask) & (fd > 0)
+    return jnp.where(fill, fd, rd)[..., None]

@@ -1,0 +1,179 @@
+"""Renderer API: the TPU equivalent of the reference rasterizer wrapper.
+
+``render`` mirrors the call contract of ``SLAM/render.py:60-145`` /
+``GaussianRasterizer_depth`` and returns the same seven conceptual outputs
+(plus the gathered normal map), in [H, W, C] layout:
+
+  render, depth, normal, color_index_map, depth_index_map,
+  color_hit_weight, depth_hit_weight, T_map
+
+Index maps hold slot indices into the fixed-capacity gaussian arrays
+(-1 = no hit) — the role the reference's concat-ordering indices play for
+error scattering (mapper.py:541-591) and normal gathering (render.py:130-133).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import binning, blend
+from .project import project
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterSettings:
+    """Static render configuration (hashable: used as a jit static arg).
+
+    Mirrors ``GaussianRasterizationSettings_depth`` (render.py:68-88) minus
+    per-frame tensors, which travel as traced arrays.
+    """
+
+    height: int
+    width: int
+    sh_degree: int = 3
+    opaque_threshold: float = 0.6
+    depth_threshold: float = 1.0
+    normal_threshold: float = 0.5     # cos(renderer_normal_threshold deg)
+    color_sigma: float = 3.0
+    T_threshold: float = 1e-4
+    scale_modifier: float = 1.0
+    block_capacity: int = 4096
+    tile_capacity: int = 1024
+
+    @classmethod
+    def from_args(cls, args, height: int, width: int,
+                  opaque_threshold: Optional[float] = None) -> "RasterSettings":
+        sh_degree = args.active_sh_degree
+        if sh_degree < 0:
+            sh_degree = args.max_sh_degree
+        return cls(
+            height=height,
+            width=width,
+            sh_degree=sh_degree,
+            opaque_threshold=(args.renderer_opaque_threshold
+                              if opaque_threshold is None else opaque_threshold),
+            depth_threshold=args.renderer_depth_threshold,
+            normal_threshold=float(np.cos(np.deg2rad(args.renderer_normal_threshold))),
+            color_sigma=args.color_sigma,
+            block_capacity=getattr(args, "block_capacity", 4096),
+            tile_capacity=getattr(args, "tile_capacity", 1024),
+        )
+
+
+@partial(jax.jit, static_argnames=("settings", "differentiable", "with_tile_mask"))
+def _render_impl(
+    gaussians: Dict[str, jnp.ndarray],
+    w2c: jnp.ndarray,
+    K: jnp.ndarray,
+    campos: jnp.ndarray,
+    tile_mask: Optional[jnp.ndarray],
+    settings: RasterSettings,
+    differentiable: bool,
+    with_tile_mask: bool,
+):
+    H, W = settings.height, settings.width
+    proj = project(
+        xyz=gaussians["xyz"],
+        scaling=gaussians["scales"],
+        rotation=gaussians["rotations"],
+        opacity=gaussians["opacity"],
+        shs=gaussians["shs"],
+        normal=gaussians["normal"],
+        alive=gaussians["alive"],
+        w2c=w2c, K=K, campos=campos,
+        width=W, height=H,
+        sh_degree=settings.sh_degree,
+        normal_threshold=settings.normal_threshold,
+        scale_modifier=settings.scale_modifier,
+    )
+
+    bins = binning.bin_gaussians(
+        proj, H, W,
+        block_capacity=settings.block_capacity,
+        tile_capacity=settings.tile_capacity,
+        tile_mask=tile_mask if with_tile_mask else None,
+    )
+
+    order = bins.order
+    feat = blend._pack_features((
+        proj.mean2d[order], proj.conic[order], proj.depth[order],
+        proj.rgb[order], proj.opacity[order], proj.normal_elig[order],
+    ))
+    origins = binning.tile_origins(H, W)
+    tiles = blend.blend_tiles(
+        feat, order, bins.tile_lists, bins.tile_counts, origins,
+        opaque_threshold=settings.opaque_threshold,
+        T_threshold=settings.T_threshold,
+        differentiable=differentiable,
+    )
+
+    def to_image(x, channels):
+        img = binning.scatter_tiles(x.reshape(x.shape[0], blend.TILE * blend.TILE, channels), H, W)
+        return img
+
+    color = to_image(tiles.color, 3)
+    depth = to_image(tiles.depth[..., None], 1)
+    depth_index = to_image(tiles.depth_index[..., None].astype(jnp.int32), 1)[..., 0]
+    color_index = to_image(tiles.color_index[..., None].astype(jnp.int32), 1)[..., 0]
+    depth_w = to_image(tiles.depth_weight[..., None], 1)
+    color_w = to_image(tiles.color_weight[..., None], 1)
+    T_map = to_image(tiles.T_final[..., None], 1)
+
+    # normal map: gather the opaque gaussian's world normal (render.py:130-133)
+    normal_pad = jnp.concatenate(
+        [gaussians["normal"], jnp.zeros((1, 3), gaussians["normal"].dtype)], axis=0)
+    normal = jnp.where(
+        (depth_index >= 0)[..., None],
+        normal_pad[jnp.clip(depth_index, 0)],
+        0.0,
+    )
+
+    return {
+        "render": color,
+        "depth": depth,
+        "normal": normal,
+        "color_index_map": color_index,
+        "depth_index_map": depth_index,
+        "color_hit_weight": color_w,
+        "depth_hit_weight": depth_w,
+        "T_map": T_map,
+        "overflow": bins.overflow,
+    }
+
+
+def render(
+    gaussians: Dict[str, jnp.ndarray],
+    camera: Dict[str, jnp.ndarray],
+    settings: RasterSettings,
+    tile_mask: Optional[jnp.ndarray] = None,
+    differentiable: bool = False,
+):
+    """Render the gaussian map from a camera.
+
+    Args:
+      gaussians: dict with activated arrays xyz [P,3], scales [P,3],
+        rotations [P,4], opacity [P,1], shs [P,K,3], normal [P,3],
+        alive [P] bool.
+      camera: dict with w2c [4,4], K [3,3], campos [3].
+      tile_mask: optional [tiles_y, tiles_x] int mask; 0-tiles are skipped.
+      differentiable: pick the scan (grad-capable) or while_loop (early-exit)
+        blend path.
+    """
+    return _render_impl(
+        gaussians, camera["w2c"], camera["K"], camera["campos"],
+        tile_mask, settings, differentiable, tile_mask is not None,
+    )
+
+
+def render_from_camera(gaussians, cam, settings=None, args=None,
+                       tile_mask=None, differentiable=False):
+    """Convenience wrapper taking a host-side Camera object."""
+    if settings is None:
+        settings = RasterSettings.from_args(args, cam.image_height, cam.image_width)
+    return render(gaussians, cam.device_dict(), settings, tile_mask, differentiable)

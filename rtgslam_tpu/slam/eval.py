@@ -1,0 +1,146 @@
+"""Evaluation: per-frame render quality + point-cloud geometry metrics.
+
+Reference contracts (``SLAM/eval.py``):
+  eval_frame  (:226) -> eval_picture (:38): PSNR / (MS-)SSIM / LPIPS /
+              depth-L1 (cm) / valid-pixel-ratio, comparison JPGs;
+  eval_pcd    (:176): accuracy & completion (cm), precision/recall/F1 @ 3 cm
+              against the GT mesh vertices (KDTree nearest distances).
+
+LPIPS requires pretrained AlexNet features; with no network egress the
+metric reports NaN unless a weights file is provided (``LPIPS_WEIGHTS`` env
+var) — interface kept so runs on provisioned machines fill the column.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import losses
+from ..ops.rasterize import RasterSettings
+from ..utils.ply import read_ply
+
+
+def lpips(img: np.ndarray, gt: np.ndarray) -> float:
+    """LPIPS(alex) when weights are available, else NaN."""
+    weights = os.environ.get("LPIPS_WEIGHTS", "")
+    if not weights or not os.path.exists(weights):
+        return float("nan")
+    try:
+        import torch
+
+        import torchvision  # noqa: F401
+
+        net = torch.jit.load(weights) if weights.endswith(".pt") else None
+        if net is None:
+            return float("nan")
+        a = torch.from_numpy(img.transpose(2, 0, 1))[None] * 2 - 1
+        b = torch.from_numpy(gt.transpose(2, 0, 1))[None] * 2 - 1
+        with torch.no_grad():
+            return float(net(a, b).item())
+    except Exception:
+        return float("nan")
+
+
+def eval_picture(render_out: Dict, gt_color: np.ndarray, gt_depth: np.ndarray,
+                 save_path: Optional[str] = None, name: str = "eval",
+                 min_depth: float = 0.0, max_depth: float = 5.0) -> Dict[str, float]:
+    img = np.asarray(render_out["render"]).clip(0, 1)
+    depth = np.asarray(render_out["depth"])[..., 0]
+    gt_c = np.asarray(gt_color)
+    gt_d = np.asarray(gt_depth)
+    if gt_d.ndim == 3:
+        gt_d = gt_d[..., 0]
+
+    psnr = float(losses.psnr(jnp.asarray(img), jnp.asarray(gt_c)))
+    ssim_v = float(losses.ssim(jnp.asarray(img), jnp.asarray(gt_c)))
+    ms_ssim_v = float(losses.ms_ssim(jnp.asarray(img), jnp.asarray(gt_c)))
+
+    valid = (gt_d > 0) & (depth > 0)
+    depth_l1 = float(np.abs(depth - gt_d)[valid].mean() * 100) if valid.any() else 0.0
+    valid_ratio = float(((depth > 0) & (gt_d > 0)).sum() / max((gt_d > 0).sum(), 1))
+
+    metrics = {
+        "psnr": psnr,
+        "ssim": ssim_v,
+        "ms_ssim": ms_ssim_v,
+        "lpips": lpips(img.astype(np.float32), gt_c.astype(np.float32)),
+        "depth_l1_cm": depth_l1,
+        "valid_ratio": valid_ratio,
+    }
+
+    if save_path:
+        import cv2
+
+        os.makedirs(save_path, exist_ok=True)
+        row_color = np.concatenate([gt_c, img], axis=1)
+        cv2.imwrite(os.path.join(save_path, f"{name}_color.jpg"),
+                    cv2.cvtColor((row_color * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+        span = max(max_depth - min_depth, 1e-6)
+        row_depth = np.concatenate([gt_d, depth], axis=1)
+        dn = ((row_depth - min_depth) / span).clip(0, 1)
+        cv2.imwrite(os.path.join(save_path, f"{name}_depth.jpg"),
+                    cv2.applyColorMap((dn * 255).astype(np.uint8), cv2.COLORMAP_JET))
+    return metrics
+
+
+def eval_frame(mapper, frame, save_path: Optional[str] = None,
+               min_depth: float = 0.0, max_depth: float = 5.0,
+               save_picture: bool = False, run_pcd: bool = False,
+               pcd_gt_path: Optional[str] = None,
+               opaque_threshold_eval: Optional[float] = None) -> Dict[str, float]:
+    """Render the frame from the current map and score it
+    (reference SLAM/eval.py:226-274)."""
+    settings = mapper.settings
+    if opaque_threshold_eval is not None:
+        import dataclasses
+
+        settings = dataclasses.replace(
+            settings, opaque_threshold=opaque_threshold_eval)
+    out = mapper._render(frame.device_dict(), "global", settings=settings)
+    name = f"frame_{frame.uid:04d}"
+    metrics = eval_picture(
+        out, frame.image, frame.depth,
+        save_path if save_picture else None, name, min_depth, max_depth)
+    if run_pcd and pcd_gt_path and os.path.exists(pcd_gt_path):
+        from ..models.gaussian_map import STABLE, to_numpy_dict
+
+        data = to_numpy_dict(mapper.state, STABLE)
+        metrics.update(eval_pcd(data["xyz"], pcd_gt_path))
+    if save_path:
+        os.makedirs(save_path, exist_ok=True)
+        with open(os.path.join(save_path, f"{name}.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+    return metrics
+
+
+def eval_pcd(points: np.ndarray, gt_mesh_path: str,
+             threshold: float = 0.03, sample: int = 200_000) -> Dict[str, float]:
+    """Accuracy / completion / P / R / F1 vs GT mesh vertices
+    (reference SLAM/eval.py:149-223) using a host KDTree."""
+    from scipy.spatial import cKDTree
+
+    gt_cols = read_ply(gt_mesh_path)
+    gt = np.stack([gt_cols["x"], gt_cols["y"], gt_cols["z"]], axis=1).astype(np.float32)
+    rng = np.random.default_rng(0)
+    if len(points) > sample:
+        points = points[rng.choice(len(points), sample, replace=False)]
+    if len(gt) > sample:
+        gt = gt[rng.choice(len(gt), sample, replace=False)]
+
+    d_p2g, _ = cKDTree(gt).query(points, k=1)
+    d_g2p, _ = cKDTree(points).query(gt, k=1)
+    precision = float((d_p2g < threshold).mean())
+    recall = float((d_g2p < threshold).mean())
+    f1 = 2 * precision * recall / max(precision + recall, 1e-8)
+    return {
+        "accuracy_cm": float(d_p2g.mean() * 100),
+        "completion_cm": float(d_g2p.mean() * 100),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }

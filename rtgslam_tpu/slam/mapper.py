@@ -1,0 +1,490 @@
+"""Mapping back-end: incremental Gaussian map construction + optimization.
+
+Host-side orchestrator mirroring the reference ``Mapping``
+(``SLAM/multiprocess/mapper.py:19-1139``) over the fixed-capacity
+``MapState``.  Per mapped frame:
+
+  gaussians_add      three-type spawning (newly-observed / depth-error /
+                     color-error pixels, mapper.py:715-794) -> dedup ->
+                     stable-attach -> KNN scale init -> scatter into free slots
+  local_optimize     fused on-device loop over the recent-frame memory
+  global_optimization keyframe-driven stable-map refinement
+  gaussians_fix      confidence promotion to stable
+  error_gaussians_remove   per-gaussian error strikes -> delete/release
+  gaussians_delete   oversized / expired gaussian recycling
+
+All heavy steps are jitted with static shapes; this class only sequences
+them and keeps the host-side bookkeeping (keyframes, recorder, checkpoints).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import deque
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.loader import GroupParams
+from ..data.camera import Camera
+from ..models import map_ops, optimize
+from ..models.gaussian_map import (
+    STABLE, UNSTABLE, GaussianMapConfig, MapState, alive_mask, render_inputs,
+    stable_mask, unstable_mask, to_numpy_dict,
+)
+from ..ops import preprocess
+from ..ops.rasterize import RasterSettings, render
+from ..utils import ply as ply_utils
+from ..utils.geometry import rot_compare, trans_compare
+
+
+class Mapper:
+    def __init__(self, args: GroupParams, recorder=None):
+        self.args = args
+        self.config = GaussianMapConfig.from_args(args)
+        self.state = MapState.create(self.config)
+        self.recorder = recorder
+
+        self.time = 0
+        self.iter = 0
+        self.gaussian_update_iter = int(args.gaussian_update_iter)
+        self.gaussian_update_frame = int(args.gaussian_update_frame)
+        self.final_global_iter = int(args.final_global_iter)
+        self.memory_length = int(args.memory_length)
+        self.global_keyframe_num = int(args.global_keyframe_num)
+        self.keyframe_trans_thes = float(args.keyframe_trans_thes)
+        self.keyframe_theta_thes = float(args.keyframe_theta_thes)
+        self.history_merge_max_weight = float(args.history_merge_max_weight)
+
+        self.uniform_sample_num = int(args.uniform_sample_num)
+        self.add_depth_thres = float(args.add_depth_thres)
+        self.add_normal_thres = float(args.add_normal_thres)
+        self.add_color_thres = float(args.add_color_thres)
+        self.add_transmission_thres = float(args.add_transmission_thres)
+        self.transmission_sample_ratio = float(args.transmission_sample_ratio)
+        self.error_sample_ratio = float(args.error_sample_ratio)
+        self.stable_confidence_thres = float(args.stable_confidence_thres)
+        self.unstable_time_window = float(args.unstable_time_window)
+
+        self.feature_lr_coef = float(getattr(args, "feature_lr_coef", 1.0))
+        self.scaling_lr_coef = float(getattr(args, "scaling_lr_coef", 1.0))
+        self.rotation_lr_coef = float(getattr(args, "rotation_lr_coef", 1.0))
+
+        self.save_path = args.save_path
+        self.save_step = int(args.save_step)
+        self.verbose = bool(args.verbose)
+        self.dataset_type = getattr(args, "type", "Replica")
+        self.min_depth, self.max_depth = float(args.min_depth), float(args.max_depth)
+
+        # frame memory + keyframes (maps kept on host to bound HBM,
+        # reference mapper.py:658-711 keeps keyframes on CPU likewise)
+        self.processed_frames: deque = deque(maxlen=self.memory_length)
+        self.keyframe_list: List[Dict] = []
+        self.keyframe_ids: List[int] = []
+        self.optimize_frames_ids: List[int] = []
+
+        self.settings: Optional[RasterSettings] = None
+        self.model_map: Dict[str, jnp.ndarray] = {}
+        self.frame_map: Dict[str, jnp.ndarray] = {}
+        self.key = jax.random.PRNGKey(2024)
+        self.rng = np.random.default_rng(2024)
+        self.max_spawn = self.config.temp_capacity // 2
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _ensure_settings(self, frame: Camera):
+        if self.settings is None:
+            self.settings = RasterSettings.from_args(
+                self.args, frame.image_height, frame.image_width)
+            self.H, self.W = frame.image_height, frame.image_width
+
+    @property
+    def get_unstable_num(self) -> int:
+        return int(jnp.sum(self.state.status == UNSTABLE))
+
+    @property
+    def get_stable_num(self) -> int:
+        return int(jnp.sum(self.state.status == STABLE))
+
+    @property
+    def get_total_iter(self) -> int:
+        return self.iter + self.time * self.gaussian_update_iter
+
+    # ------------------------------------------------------------------
+    def _render(self, cam_dev, which: str, tile_mask=None, settings=None):
+        masks = {"global": alive_mask, "unstable": unstable_mask, "stable": stable_mask}
+        gauss = render_inputs(self.state, masks[which](self.state))
+        return render(gauss, cam_dev, settings or self.settings,
+                      tile_mask=tile_mask, differentiable=False)
+
+    def get_render_output(self, frame: Camera):
+        """Full global render for the model map (mapper.py:982-996)."""
+        out = self._render(frame.device_dict(), "global")
+        self.model_map = {
+            "render_color": out["render"],
+            "render_depth": out["depth"],
+            "render_normal": out["normal"],
+            "render_color_index": out["color_index_map"],
+            "render_depth_index": out["depth_index_map"],
+            "render_transmission": out["T_map"],
+        }
+        return out
+
+    # ------------------------------------------------------------------
+    # spawning
+    # ------------------------------------------------------------------
+    def gaussians_add(self, frame: Camera):
+        fm = self.frame_map
+        depth = fm["depth_map"][..., 0]
+        if self.time == 0:
+            mask = depth > 0
+            idx_a, val_a = map_ops.sample_masked_pixels(
+                self._next_key(), mask, self.uniform_sample_num, self.max_spawn)
+            idx_b = jnp.zeros((self.max_spawn,), jnp.int32)
+            val_b = jnp.zeros((self.max_spawn,), bool)
+        else:
+            self.get_render_output(frame)
+            T = self.model_map["render_transmission"][..., 0]
+            trans_mask = (T > self.add_transmission_thres) & (depth > 0)
+            trans_num = (self.transmission_sample_ratio
+                         * (jnp.sum(trans_mask) / depth.size)
+                         * self.uniform_sample_num).astype(jnp.int32)
+            idx_a, val_a = map_ops.sample_masked_pixels(
+                self._next_key(), trans_mask, trans_num, self.max_spawn)
+
+            depth_err = jnp.abs(depth - self.model_map["render_depth"][..., 0])
+            color_err = jnp.mean(
+                jnp.abs(fm["color_map"] - self.model_map["render_color"]), axis=-1)
+            depth_mask = ((depth_err > self.add_depth_thres) & (depth > 0)
+                          & (self.model_map["render_depth_index"] > -1))
+            color_mask = ((color_err > self.add_color_thres) & (depth > 0)
+                          & (T < self.add_transmission_thres))
+            err_mask = (depth_mask | color_mask) & ~trans_mask
+            err_num = (jnp.sum(err_mask) * self.error_sample_ratio).astype(jnp.int32)
+            idx_b, val_b = map_ops.sample_masked_pixels(
+                self._next_key(), err_mask, err_num, self.max_spawn)
+
+        temp = map_ops.gather_temp_points(
+            fm["vertex_map_w"], fm["normal_map_w"], fm["color_map"],
+            idx_a, val_a, idx_b, val_b,
+            self.config.init_opacity, self.max_spawn)
+
+        temp = map_ops.temp_filter_dedup(temp, self.state)
+
+        if self.get_stable_num > 0:
+            stable_out = self._render(frame.device_dict(), "stable")
+            cam = frame.device_dict()
+            temp = map_ops.temp_attach_to_stable(
+                temp, self.state, stable_out["color_index_map"],
+                jnp.asarray(cam["w2c"]), jnp.asarray(cam["K"]),
+                self.H, self.W, self.add_depth_thres)
+
+        temp, log_scales = map_ops.temp_scale_init(temp, self.state, self.config)
+        self.state, n_inserted = map_ops.insert_temp(
+            self.state, temp, log_scales, self.time, self.config)
+        if self.verbose:
+            print(f"add new gaussian num: {int(n_inserted)}")
+
+    # ------------------------------------------------------------------
+    # keyframes
+    # ------------------------------------------------------------------
+    def check_keyframe(self, frame: Camera, frame_id: int) -> bool:
+        """Rotation/translation-threshold keyframing (mapper.py:336-368)."""
+        fm = self.frame_map
+        keymap = {
+            "color_map": np.asarray(fm["color_map"]),
+            "depth_map": np.asarray(fm["depth_map"]),
+            "normal_map": np.asarray(fm["normal_map_w"]),
+        }
+        if self.time == 0:
+            self.keyframe_list.append({"frame": frame.drop_images(), "map": keymap})
+            self.keyframe_ids.append(frame_id)
+            return False
+        prev = self.keyframe_list[-1]["frame"]
+        _, theta_diff = rot_compare(prev.R.T, frame.R.T)
+        _, l2_diff = trans_compare(prev.T, frame.T)
+        if theta_diff > self.keyframe_theta_thes or l2_diff > self.keyframe_trans_thes:
+            self.keyframe_list.append({"frame": frame.drop_images(), "map": keymap})
+            self.keyframe_ids.append(frame_id)
+            return True
+        return False
+
+    def update_poses(self, new_poses) -> None:
+        """Re-apply backend-refined historical poses (mapper.py:134-141)."""
+        if new_poses is None:
+            return
+        for entry in self.processed_frames:
+            cam = entry["camera"]
+            cam.update_pose(new_poses[cam.uid])
+            entry["cam_dev"] = cam.device_dict()
+        for kf in self.keyframe_list:
+            if kf["frame"].uid < len(new_poses):
+                kf["frame"].update_pose(new_poses[kf["frame"].uid])
+
+    # ------------------------------------------------------------------
+    # optimization
+    # ------------------------------------------------------------------
+    def _lrs(self, opt, scale_overrides=None):
+        lrs = {
+            "xyz": opt.position_lr,
+            "features_dc": opt.feature_lr,
+            "features_rest": opt.feature_lr / 20.0,
+            "opacity": opt.opacity_lr,
+            "scaling": opt.scaling_lr,
+            "rotation": opt.rotation_lr,
+        }
+        if scale_overrides:
+            for k, s in scale_overrides.items():
+                lrs[k] = lrs[k] * s if s >= 0 else 0.0
+        return {k: jnp.float32(v) for k, v in lrs.items()}
+
+    def _hyper(self, opt, history, depth_weight=None):
+        return {
+            "color_weight": jnp.float32(opt.color_weight),
+            "depth_weight": jnp.float32(
+                opt.depth_weight if depth_weight is None else depth_weight),
+            "normal_weight": jnp.float32(opt.normal_weight),
+            "add_depth_thres": jnp.float32(self.add_depth_thres),
+            "hist_opacity": history["opacity"],
+            "hist_scaling": history["scaling"],
+            "hist_xyz": history["xyz"],
+            "hist_rotation_raw": history["rotation_raw"],
+        }
+
+    def evaluate_render_range(self, cam_dev, global_opt=False, sample_ratio=-1.0,
+                              unstable=True, gt_color=None):
+        """Partial-render masks from transmittance / color error
+        (mapper.py:471-508)."""
+        out = self._render(cam_dev, "unstable" if unstable else "stable")
+        T = out["T_map"][..., 0]
+        if global_opt and sample_ratio > 0:
+            err = jnp.sum(jnp.abs(out["render"] - gt_color), axis=-1)
+            err = jnp.where(jnp.sum(out["render"], axis=-1) == 0, 0.0, err)
+            tile = preprocess.colorerror_to_tilemask(err, 16, sample_ratio)
+            rmask = preprocess.tilemask_to_pixelmask(tile, self.H, self.W)
+        elif global_opt:
+            rmask = T != 1.0
+            tile = jnp.ones(((self.H + 15) // 16, (self.W + 15) // 16), jnp.int32)
+        else:
+            rmask = T != 1.0
+            tile = preprocess.transmission_to_tilemask(rmask, 16, 0.5)
+        return rmask, tile
+
+    def _stack_batch(self, entries) -> optimize.FrameBatch:
+        """Stack (pad to memory_length) frame dicts into a FrameBatch."""
+        F = len(entries)
+        pick = lambda k: jnp.stack([e[k] for e in entries])
+        return optimize.FrameBatch(
+            color=pick("color"), depth=pick("depth"), normal=pick("normal"),
+            w2c=pick("w2c"), K=pick("K"), campos=pick("campos"),
+            render_mask=pick("render_mask"), tile_mask=pick("tile_mask"),
+        )
+
+    def local_optimize(self, frame: Camera, opt):
+        history = map_ops.capture_history(self.state)
+        entries = []
+        for rec in self.processed_frames:
+            rmask, tile = self.evaluate_render_range(rec["cam_dev"], unstable=True)
+            fm = rec["frame_map"]
+            entries.append({
+                "color": fm["color_map"], "depth": fm["depth_map"][..., 0],
+                "normal": fm["normal_map_w"],
+                "w2c": jnp.asarray(rec["cam_dev"]["w2c"]),
+                "K": jnp.asarray(rec["cam_dev"]["K"]),
+                "campos": jnp.asarray(rec["cam_dev"]["campos"]),
+                "render_mask": rmask, "tile_mask": tile,
+            })
+        n_actual = len(entries)
+        while len(entries) < self.memory_length:
+            entries.append(entries[-1])
+        batch = self._stack_batch(entries)
+
+        n_iters = self.gaussian_update_iter
+        seq = self.rng.integers(0, n_actual, size=n_iters)
+        seq[n_iters // 2 + 1:] = n_actual - 1  # late iters focus the newest frame
+        self.state, report = optimize.run_optimize(
+            self.state, batch, jnp.asarray(seq, jnp.int32), n_iters,
+            alive_mask(self.state), unstable_mask(self.state),
+            self._lrs(opt), self._hyper(opt, history), self.settings)
+
+        self.state = map_ops.history_merge(
+            self.state, history, self.history_merge_max_weight,
+            unstable_mask(self.state))
+        return report
+
+    def global_optimization(self, opt, select_keyframe_num=-1, is_end=False):
+        """Stable-map refinement over recent keyframes; final pass sweeps all
+        keyframes with all gaussians fixed (mapper.py:594-712)."""
+        if select_keyframe_num == -1:
+            self.state = map_ops.fix_all(self.state)
+        if self.get_stable_num == 0:
+            return None
+
+        is_final = select_keyframe_num == -1
+        if is_final:
+            lrs = self._lrs(opt, {
+                "xyz": -1,
+                "features_dc": self.feature_lr_coef,
+                "features_rest": self.feature_lr_coef,
+                "scaling": self.scaling_lr_coef,
+                "rotation": self.rotation_lr_coef,
+            })
+            depth_weight = 0.0
+            sample_ratio = -1.0
+            select_keyframe_num = len(self.keyframe_list)
+        else:
+            lrs = self._lrs(opt, {k: 0.1 for k in
+                                  ("features_dc", "features_rest", "opacity",
+                                   "scaling", "rotation")})
+            lrs["xyz"] = jnp.float32(0.0)
+            depth_weight = None
+            sample_ratio = 0.4
+        select_keyframe_num = min(select_keyframe_num, len(self.keyframe_list))
+
+        history = map_ops.capture_history(self.state)
+        hyper = self._hyper(opt, history, depth_weight=depth_weight)
+
+        # newest-first keyframe selection (mapper.py:647-649)
+        selected = [self.keyframe_list[-(i + 1)] for i in range(select_keyframe_num)]
+
+        def make_entry(kf):
+            m = kf["map"]
+            cam_dev = kf["frame"].device_dict()
+            gt_color = jnp.asarray(m["color_map"])
+            rmask, tile = self.evaluate_render_range(
+                cam_dev, global_opt=True, sample_ratio=sample_ratio,
+                unstable=False, gt_color=gt_color)
+            return {
+                "color": gt_color,
+                "depth": jnp.asarray(m["depth_map"])[..., 0],
+                "normal": jnp.asarray(m["normal_map"]),
+                "w2c": jnp.asarray(cam_dev["w2c"]),
+                "K": jnp.asarray(cam_dev["K"]),
+                "campos": jnp.asarray(cam_dev["campos"]),
+                "render_mask": rmask, "tile_mask": tile,
+            }
+
+        report = None
+        if not is_final:
+            entries = [make_entry(kf) for kf in selected]
+            n_actual = len(entries)
+            while len(entries) < self.global_keyframe_num:
+                entries.append(entries[-1])
+            batch = self._stack_batch(entries)
+            n_iters = self.gaussian_update_iter
+            seq = self.rng.integers(0, n_actual, size=n_iters)
+            seq[n_iters // 2 + 1:] = n_actual - 1
+            self.state, report = optimize.run_optimize(
+                self.state, batch, jnp.asarray(seq, jnp.int32), n_iters,
+                stable_mask(self.state), stable_mask(self.state),
+                lrs, hyper, self.settings)
+        else:
+            # final sweep: shuffled keyframes, a chunk of iterations each
+            # (host-chunked so all keyframe maps never co-reside in HBM)
+            order = self.rng.permutation(select_keyframe_num)
+            for kf_idx in order:
+                entry = make_entry(selected[int(kf_idx)])
+                batch = self._stack_batch([entry])
+                n_iters = self.final_global_iter
+                seq = np.zeros(n_iters, np.int64)
+                self.state, report = optimize.run_optimize(
+                    self.state, batch, jnp.asarray(seq, jnp.int32), n_iters,
+                    stable_mask(self.state), stable_mask(self.state),
+                    lrs, hyper, self.settings)
+        return report
+
+    # ------------------------------------------------------------------
+    # error-driven self-healing
+    # ------------------------------------------------------------------
+    def error_gaussians_remove(self):
+        if self.get_stable_num <= 0 or not self.processed_frames:
+            return
+        rec = self.processed_frames[-1]
+        out = self._render(rec["cam_dev"], "global")
+        fm = rec["frame_map"]
+        self.state = map_ops.error_update(
+            self.state,
+            out["render"], out["depth"], out["normal"],
+            out["depth_index_map"], out["color_index_map"],
+            fm["color_map"], fm["depth_map"],
+            self.add_color_thres, self.add_depth_thres,
+            self.time, self.config.capacity)
+
+    # ------------------------------------------------------------------
+    # top-level per-frame entry
+    # ------------------------------------------------------------------
+    def mapping(self, frame: Camera, frame_map: Dict, frame_id: int, opt) -> None:
+        self._ensure_settings(frame)
+        self.frame_map = frame_map
+        self.gaussians_add(frame)
+        self.processed_frames.append({
+            "camera": frame.drop_images(),
+            "cam_dev": frame.device_dict(),
+            "frame_map": frame_map,
+        })
+
+        if (self.time + 1) % self.gaussian_update_frame == 0 or self.time == 0:
+            self.optimize_frames_ids.append(frame_id)
+            is_keyframe = self.check_keyframe(frame, frame_id)
+            if self.dataset_type == "Scannetpp":
+                self.local_optimize(frame, opt)
+                if is_keyframe:
+                    self.global_optimization(
+                        opt, select_keyframe_num=self.global_keyframe_num)
+            else:
+                if not is_keyframe or self.get_stable_num <= 0:
+                    self.local_optimize(frame, opt)
+                else:
+                    self.global_optimization(
+                        opt, select_keyframe_num=self.global_keyframe_num)
+                self.state = map_ops.delete_gaussians(
+                    self.state, self.time, self.unstable_time_window, unstable=False)
+
+        self.state = map_ops.fix_confident(self.state, self.stable_confidence_thres)
+        self.error_gaussians_remove()
+        self.state = map_ops.delete_gaussians(
+            self.state, self.time, self.unstable_time_window, unstable=True)
+
+    # ------------------------------------------------------------------
+    # checkpoints
+    # ------------------------------------------------------------------
+    def save_model(self, path=None, save_data=True, save_sibr=True, save_merge=True):
+        """PLY snapshots in the reference layout (mapper.py:933-966)."""
+        if path is None:
+            frame_name = f"frame_{self.time:04d}"
+            model_dir = os.path.join(self.save_path, "save_model", frame_name)
+            os.makedirs(model_dir, exist_ok=True)
+            path = os.path.join(model_dir, f"iter_{self.iter:04d}")
+
+        def dump(which, suffix, confidence):
+            data = to_numpy_dict(self.state, which)
+            if data["xyz"].shape[0] == 0:
+                return False
+            ply_utils.save_gaussian_ply(
+                path + suffix, data["xyz"], data["features_dc"],
+                data["features_rest"], data["opacity"], data["scaling"],
+                data["rotation"],
+                data["confidence"] if confidence else None)
+            return True
+
+        has_u = has_s = False
+        if save_data:
+            has_u = dump(UNSTABLE, ".ply", True)
+            has_s = dump(STABLE, "_stable.ply", True)
+        if save_sibr:
+            dump(UNSTABLE, "_sibr.ply", False)
+            dump(STABLE, "_stable_sibr.ply", False)
+        if has_u and has_s and save_merge:
+            ply_utils.merge_gaussian_ply(
+                path + ".ply", path + "_stable.ply", path + "_merge.ply")
+
+    def load_model(self, ply_path: str):
+        """Load a checkpoint into the stable pool (metric.py:154 contract)."""
+        data = ply_utils.read_gaussian_ply(ply_path)
+        from ..models.gaussian_map import load_numpy_dict
+        self.state = load_numpy_dict(MapState.create(self.config), data, STABLE)

@@ -1,0 +1,94 @@
+"""ctypes binding for the native C++ pose backend (native/pose_backend.cc).
+
+Presents the orbslam2-binding API surface (reference call sites
+``SLAM/multiprocess/tracker.py:225-260``) over the C library, plus the
+pose-graph loop-closure hook (``add_loop_constraint``) whose corrected
+trajectory the mapper re-applies via ``update_poses``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+
+class NativePoseBackend:
+    def __init__(self, lib_path: str, vocab_path: str = "", settings_path: str = ""):
+        self._lib = ctypes.CDLL(os.path.abspath(lib_path))
+        self._lib.pb_create.restype = ctypes.c_void_p
+        for name, argtypes in {
+            "pb_destroy": [ctypes.c_void_p],
+            "pb_initialize": [ctypes.c_void_p, ctypes.c_int],
+            "pb_shutdown": [ctypes.c_void_p],
+            "pb_process_image_rgbd": [ctypes.c_void_p, ctypes.c_double],
+            "pb_track_with_icp_pose": [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_float),
+                                       ctypes.c_double],
+            "pb_track_with_orb_feature": [ctypes.c_void_p, ctypes.c_double],
+            "pb_add_loop_constraint": [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.c_int,
+                                       ctypes.POINTER(ctypes.c_double),
+                                       ctypes.c_double, ctypes.c_int],
+            "pb_get_trajectory": [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_double)],
+            "pb_get_keyframes": [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_double)],
+        }.items():
+            getattr(self._lib, name).argtypes = argtypes
+        self._lib.pb_trajectory_size.restype = ctypes.c_int
+        self._lib.pb_trajectory_size.argtypes = [ctypes.c_void_p]
+        self._lib.pb_keyframe_size.restype = ctypes.c_int
+        self._lib.pb_keyframe_size.argtypes = [ctypes.c_void_p]
+        self._h = self._lib.pb_create()
+
+    def __del__(self):
+        try:
+            self._lib.pb_destroy(self._h)
+        except Exception:
+            pass
+
+    # -- orbslam2 API -------------------------------------------------------
+    def set_use_viewer(self, flag: bool) -> None:
+        pass
+
+    def initialize(self, useicp: bool) -> None:
+        self._lib.pb_initialize(self._h, int(useicp))
+
+    def shutdown(self) -> None:
+        self._lib.pb_shutdown(self._h)
+
+    def process_image_rgbd(self, color, depth, timestamp: float) -> None:
+        self._lib.pb_process_image_rgbd(self._h, float(timestamp))
+
+    def track_with_icp_pose(self, color, depth, pose_rel: np.ndarray,
+                            timestamp: float) -> None:
+        arr = np.ascontiguousarray(pose_rel, dtype=np.float32)
+        self._lib.pb_track_with_icp_pose(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            float(timestamp))
+
+    def track_with_orb_feature(self, color, depth, timestamp: float) -> None:
+        self._lib.pb_track_with_orb_feature(self._h, float(timestamp))
+
+    def add_loop_constraint(self, i: int, j: int, T_ij: np.ndarray,
+                            weight: float = 1.0, iterations: int = 50) -> None:
+        arr = np.ascontiguousarray(T_ij, dtype=np.float64)
+        self._lib.pb_add_loop_constraint(
+            self._h, int(i), int(j),
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            float(weight), int(iterations))
+
+    def _rows(self, size_fn, get_fn):
+        n = size_fn(self._h)
+        out = np.zeros((n, 13), np.float64)
+        if n:
+            get_fn(self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return [tuple(row) for row in out]
+
+    def get_trajectory_points(self):
+        return self._rows(self._lib.pb_trajectory_size, self._lib.pb_get_trajectory)
+
+    def get_keyframe_points(self):
+        return self._rows(self._lib.pb_keyframe_size, self._lib.pb_get_keyframes)

@@ -1,0 +1,145 @@
+"""Two-stage tracker/mapper pipeline (the reference's multi-process mode).
+
+The reference (``slam_mp.py`` + ``SLAM/multiprocess/system.py``) runs the
+tracker and mapper as separate CUDA processes bridged by
+``torch.multiprocessing`` queues.  On TPU the natural equivalent is two host
+*threads* over one device: jitted tracker and mapper steps are dispatched
+asynchronously and overlap on the device queue, while map snapshots hand off
+as device arrays with zero copies.  The three synchronization policies are
+preserved (``system.py:19-24``, ``tracker.py:469-487``):
+
+  strict  tracker blocks every ``sync_tracker2mapper_frames`` frames until
+          the mapper catches up;
+  loose   tracker may run ahead by at most that many frames;
+  free    no synchronization.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..config.loader import GroupParams
+from ..data import Dataset, load_camera
+from ..utils.monitor import Recorder
+from .mapper import Mapper
+from .tracker import Tracker
+
+
+class SLAM:
+    def __init__(self, args: GroupParams, dataset: Dataset,
+                 optimization_params: GroupParams):
+        self.args = args
+        self.dataset = dataset
+        self.optimization_params = optimization_params
+        self.sync_method = args.sync_tracker2mapper_method
+        self.sync_frames = int(args.sync_tracker2mapper_frames)
+        self.tracker_max_fps = float(getattr(args, "tracker_max_fps", 30))
+
+        self.recorder = Recorder(0)
+        self.tracker = Tracker(args)
+        self.mapper = Mapper(args, self.recorder)
+
+        self._t2m: queue.Queue = queue.Queue()
+        self._m2t: queue.Queue = queue.Queue()
+        self._mapper_caught_up = threading.Condition()
+        self._last_mapped_frame = -1
+        self._errors: list = []
+
+    # ------------------------------------------------------------------
+    def _tracking_loop(self):
+        try:
+            infos = self.dataset.scene_info.train_cameras
+            from ..config import DatasetParams
+
+            dataset_params = DatasetParams().extract(self.args)
+            min_frame_time = 1.0 / self.tracker_max_fps
+            for frame_id, info in enumerate(infos):
+                start = time.time()
+                frame = load_camera(dataset_params, frame_id, info)
+                frame_map = self.tracker.map_preprocess(frame, frame_id)
+                self.tracker.tracking(frame, frame_map)
+                self.recorder.update_mean("tracking", time.time() - start, 1)
+                self._t2m.put((frame, frame_map, frame_id,
+                               self.tracker.get_new_poses()))
+
+                # sync policies (reference tracker.py:469-487)
+                if self.sync_method == "strict":
+                    if (frame_id + 1) % self.sync_frames == 0:
+                        with self._mapper_caught_up:
+                            while self._last_mapped_frame < frame_id:
+                                self._mapper_caught_up.wait(timeout=30.0)
+                elif self.sync_method == "loose":
+                    with self._mapper_caught_up:
+                        while frame_id - self._last_mapped_frame > self.sync_frames:
+                            self._mapper_caught_up.wait(timeout=30.0)
+
+                # consume the mapper's latest model snapshot for
+                # frame-to-model ICP (reference tracker.py:522-538)
+                snapshot = None
+                while not self._m2t.empty():
+                    snapshot = self._m2t.get_nowait()
+                if snapshot is not None:
+                    self.tracker.update_last_status(
+                        frame, snapshot["render_depth"], frame_map["depth_map"],
+                        snapshot["render_normal"], frame_map["normal_map_w"])
+
+                elapsed = time.time() - start
+                if elapsed < min_frame_time:
+                    time.sleep(min_frame_time - elapsed)
+            self._t2m.put(None)  # end sentinel (reference time == -1)
+        except Exception as e:  # pragma: no cover - surfaced in run()
+            self._errors.append(e)
+            self._t2m.put(None)
+
+    def _mapping_loop(self):
+        try:
+            while True:
+                item = self._t2m.get()
+                if item is None:
+                    break
+                frame, frame_map, frame_id, new_poses = item
+                start = time.time()
+                self.mapper.update_poses(new_poses)
+                self.mapper.mapping(frame, frame_map, frame_id,
+                                    self.optimization_params)
+                out = self.mapper.get_render_output(frame)
+                self.mapper.time += 1
+                self.recorder.update_mean("mapping", time.time() - start, 1)
+                self._m2t.put({
+                    "render_depth": out["depth"],
+                    "render_normal": out["normal"],
+                    "frame_id": frame_id,
+                })
+                with self._mapper_caught_up:
+                    self._last_mapped_frame = frame_id
+                    self._mapper_caught_up.notify_all()
+            # final global optimization (reference mapper.py:1246)
+            self.mapper.global_optimization(self.optimization_params, is_end=True)
+        except Exception as e:  # pragma: no cover
+            self._errors.append(e)
+            with self._mapper_caught_up:
+                self._last_mapped_frame = 10 ** 9
+                self._mapper_caught_up.notify_all()
+
+    # ------------------------------------------------------------------
+    def run(self):
+        mapper_thread = threading.Thread(target=self._mapping_loop, name="mapper")
+        tracker_thread = threading.Thread(target=self._tracking_loop, name="tracker")
+        mapper_thread.start()
+        tracker_thread.start()
+        tracker_thread.join()
+        mapper_thread.join()
+        if self._errors:
+            raise self._errors[0]
+
+        self.mapper.save_model(save_data=True)
+        ate = self.tracker.save_traj(self.args.save_path)
+        fps = self.recorder.cal_fps()
+        self.recorder.save(self.args.save_path)
+        print(f"[LOG] ATE RMSE: {ate:.3f} cm  mapping FPS: {fps:.2f}")
+        return ate, fps

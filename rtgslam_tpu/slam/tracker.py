@@ -1,0 +1,210 @@
+"""Tracking front-end: frame preprocessing + pose estimation.
+
+Mirrors the reference ``SLAM/multiprocess/tracker.py`` Tracker:
+``map_preprocess`` builds the filtered depth / vertex / normal / confidence
+maps (one fused jitted pipeline instead of a chain of torch calls), and
+``tracking`` dispatches gt-pose / ICP / ICP+backend pose estimation, then
+lifts the maps to world space.  The optional ORB-SLAM2-style backend is an
+injected host-side pose service implementing the reference binding API
+(``tracker.py:225-260``); a fake in-process implementation ships for tests.
+"""
+
+from __future__ import annotations
+
+import os
+import time as time_mod
+from collections import defaultdict
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.camera import Camera
+from ..ops import preprocess
+from ..ops.icp import IcpTracker, fuse_model_depth
+from ..utils import traj as traj_utils
+from ..utils.geometry import world_to_view
+
+
+@partial(jax.jit, static_argnames=("use_filter",))
+def preprocess_frame(depth: jnp.ndarray, color: jnp.ndarray, K: jnp.ndarray,
+                     min_depth: float, max_depth: float,
+                     confidence_thresh: float, use_filter: bool):
+    """Fused per-frame preprocessing (reference ``map_preprocess``,
+    tracker.py:97-159): optional bilateral filter, depth-range gate,
+    vertex/normal/confidence maps, low-confidence invalidation."""
+    d = depth[..., 0] if depth.ndim == 3 else depth
+    if use_filter:
+        d = preprocess.bilateral_filter(d, 5, 2.0, 2.0)
+    d = jnp.where((d > min_depth) & (d < max_depth), d, 0.0)
+    vertex_c = preprocess.compute_vertex_map(d, K)
+    normal_c = preprocess.compute_normal_map(vertex_c)
+    confidence = preprocess.compute_confidence_map(normal_c, K)
+
+    invalid = jnp.all(normal_c == 0, axis=-1) | (confidence[..., 0] < confidence_thresh)
+    d = jnp.where(invalid, 0.0, d)
+    normal_c = jnp.where(invalid[..., None], 0.0, normal_c)
+    vertex_c = jnp.where(invalid[..., None], 0.0, vertex_c)
+    confidence = jnp.where(invalid[..., None], 0.0, confidence)
+    return {
+        "depth_map": d[..., None],
+        "color_map": color,
+        "normal_map_c": normal_c,
+        "vertex_map_c": vertex_c,
+        "confidence_map": confidence,
+        "invalid_confidence_mask": invalid,
+    }
+
+
+@jax.jit
+def lift_to_world(vertex_c: jnp.ndarray, normal_c: jnp.ndarray, c2w: jnp.ndarray):
+    rot_only = jnp.eye(4).at[:3, :3].set(c2w[:3, :3])
+    return (preprocess.transform_map(vertex_c, c2w),
+            preprocess.transform_map(normal_c, rot_only))
+
+
+class Tracker:
+    def __init__(self, args, orb_backend=None):
+        self.use_gt_pose = bool(args.use_gt_pose)
+        self.min_depth = float(args.min_depth)
+        self.max_depth = float(args.max_depth)
+        self.depth_filter = bool(args.depth_filter)
+        self.invalid_confidence_thresh = float(args.invalid_confidence_thresh)
+        self.verbose = bool(args.verbose)
+
+        self.icp = IcpTracker(args)
+        self.status = defaultdict(bool)
+        self.pose_gt = []
+        self.pose_es = []
+        self.timestamps = []
+        self.K = None
+
+        self.use_orb_backend = bool(args.use_orb_backend)
+        self.orb_useicp = bool(getattr(args, "orb_useicp", True))
+        self.orb_backend = orb_backend
+        if self.use_orb_backend and self.orb_backend is None:
+            from .pose_backend import create_backend
+            self.orb_backend = create_backend(args)
+
+    # ------------------------------------------------------------------
+    def map_preprocess(self, frame: Camera, frame_id: int) -> Dict[str, jnp.ndarray]:
+        K = jnp.asarray(frame.intrinsic)
+        if self.K is None:
+            self.K = K
+        depth = jnp.asarray(frame.depth, jnp.float32)
+        color = jnp.asarray(frame.image, jnp.float32)
+        frame_map = preprocess_frame(
+            depth, color, K, self.min_depth, self.max_depth,
+            self.invalid_confidence_thresh, self.depth_filter)
+        frame_map["time"] = frame_id
+        self.curr_frame = {
+            "frame_id": frame_id,
+            "timestamp": frame.timestamp,
+            "pose_gt": frame.pose_gt,
+            "color_u8": None,
+            "depth_u16": None,
+        }
+        if self.use_orb_backend:
+            # backend consumes raw sensor units (metres * depth_scale)
+            self.curr_frame["color_u8"] = (np.asarray(frame.image) * 255).astype(np.uint8)
+            self.curr_frame["depth_u16"] = (
+                np.asarray(frame.depth[..., 0]) * frame.depth_scale
+            ).astype(np.uint16)
+        self.icp.update_curr_status(frame_map["depth_map"], K)
+        return frame_map
+
+    # ------------------------------------------------------------------
+    def _refine_with_backend(self, pose_t1_t0: np.ndarray, icp_ok: bool) -> np.ndarray:
+        """Seed the backend with the ICP relative pose, or fall back to pure
+        feature tracking on ICP failure (reference tracker.py:225-244)."""
+        if icp_ok and self.orb_useicp:
+            self.orb_backend.track_with_icp_pose(
+                self.curr_frame["color_u8"], self.curr_frame["depth_u16"],
+                pose_t1_t0.astype(np.float32), self.curr_frame["timestamp"])
+        else:
+            self.orb_backend.track_with_orb_feature(
+                self.curr_frame["color_u8"], self.curr_frame["depth_u16"],
+                self.curr_frame["timestamp"])
+        rows = self.orb_backend.get_trajectory_points()
+        poses, _ = convert_poses(rows[-1:])
+        return poses[-1]
+
+    def tracking(self, frame: Camera, frame_map: Dict[str, jnp.ndarray]) -> bool:
+        self.pose_gt.append(np.asarray(self.curr_frame["pose_gt"]))
+        self.timestamps.append(self.curr_frame["timestamp"])
+        success = True
+        if self.use_gt_pose:
+            pose_t1_w = self.pose_gt[-1]
+        elif not self.status["initialized"]:
+            if self.use_orb_backend:
+                self.orb_backend.process_image_rgbd(
+                    self.curr_frame["color_u8"], self.curr_frame["depth_u16"],
+                    self.curr_frame["timestamp"])
+            self.status["initialized"] = True
+            pose_t1_w = np.eye(4)
+        else:
+            pose_t1_t0, success = self.icp.predict_pose()
+            if self.use_orb_backend:
+                pose_t1_w = self._refine_with_backend(pose_t1_t0, success)
+            else:
+                pose_t1_w = self.pose_es[-1] @ pose_t1_t0
+
+        self.icp.move_last_status()
+        self.pose_es.append(np.asarray(pose_t1_w))
+        frame.update_pose(pose_t1_w)
+
+        vertex_w, normal_w = lift_to_world(
+            frame_map["vertex_map_c"], frame_map["normal_map_c"],
+            jnp.asarray(frame.c2w, jnp.float32))
+        frame_map["vertex_map_w"] = vertex_w
+        frame_map["normal_map_w"] = normal_w
+        return success
+
+    # ------------------------------------------------------------------
+    def update_last_status(self, frame, render_depth, frame_depth,
+                           render_normal, frame_normal):
+        """Feed the mapper's rendered model depth back into the ICP target
+        (frame-to-model tracking, reference slam.py:83-89)."""
+        self.icp.update_last_status(render_depth, frame_depth,
+                                    render_normal, frame_normal)
+
+    def get_new_poses(self):
+        if self.use_orb_backend and not self.use_gt_pose:
+            poses, _ = convert_poses(self.orb_backend.get_trajectory_points())
+            return poses
+        return None
+
+    # ------------------------------------------------------------------
+    def eval_ate(self, frame_id: int = -1) -> float:
+        n = len(self.pose_es) if frame_id == -1 else frame_id
+        return traj_utils.ate_rmse(
+            np.stack(self.pose_gt[:n])[:, :3, 3],
+            np.stack(self.pose_es[:n])[:, :3, 3])
+
+    def save_traj(self, save_path: str) -> float:
+        save_dir = os.path.join(save_path, "save_traj")
+        if not self.use_gt_pose and self.use_orb_backend:
+            self.pose_es, _ = convert_poses(self.orb_backend.get_trajectory_points())
+        traj_utils.save_traj_npy(save_dir, self.pose_es, self.pose_gt)
+        ate = traj_utils.save_ate_plots(save_dir, self.pose_es, self.pose_gt)
+        traj_utils.save_traj_tum(
+            os.path.join(save_dir, "traj_tum.txt"), self.pose_es, self.timestamps)
+        if self.use_orb_backend:
+            self.orb_backend.shutdown()
+        return ate
+
+
+def convert_poses(rows):
+    """Backend trajectory rows (stamp, r00..r22 | t interleaved) -> 4x4 poses
+    (reference tracker.py:16-26)."""
+    poses, stamps = [], []
+    for row in rows:
+        stamp, r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2 = row
+        pose = np.eye(4)
+        pose[:3, :3] = [[r00, r01, r02], [r10, r11, r12], [r20, r21, r22]]
+        pose[:3, 3] = [t0, t1, t2]
+        poses.append(pose)
+        stamps.append(stamp)
+    return poses, stamps

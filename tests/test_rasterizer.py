@@ -1,0 +1,192 @@
+"""Rasterizer tests: projection math, binning invariants, blend correctness
+vs a brute-force per-pixel reference, gradients, and golden synthetic-scene
+checks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rtgslam_tpu.ops.rasterize import RasterSettings, render
+from rtgslam_tpu.ops.rasterize.project import project
+from rtgslam_tpu.ops.rasterize import binning
+from rtgslam_tpu.utils.sh import rgb_to_sh
+
+
+def make_scene(P=64, n_alive=8, seed=0, H=64, W=96):
+    rng = np.random.default_rng(seed)
+    xyz = np.zeros((P, 3), np.float32)
+    alive = np.zeros(P, bool)
+    xyz[:n_alive] = rng.uniform([-1, -0.7, 1.0], [1, 0.7, 4.0], (n_alive, 3))
+    alive[:n_alive] = True
+    scales = np.full((P, 3), 1e-6, np.float32)
+    scales[:n_alive] = rng.uniform(0.05, 0.2, (n_alive, 3))
+    scales[:n_alive, 2] *= 0.1
+    rots = rng.standard_normal((P, 4)).astype(np.float32)
+    rots[:, 0] += 2.0
+    opa = np.full((P, 1), 0.8, np.float32)
+    shs = np.zeros((P, 16, 3), np.float32)
+    shs[:, 0] = np.asarray(rgb_to_sh(jnp.asarray(
+        rng.uniform(0.1, 0.9, (P, 3)).astype(np.float32))))
+    normal = np.tile(np.array([0, 0, -1], np.float32), (P, 1))
+    g = dict(xyz=jnp.asarray(xyz), scales=jnp.asarray(scales),
+             rotations=jnp.asarray(rots / np.linalg.norm(rots, axis=-1, keepdims=True)),
+             opacity=jnp.asarray(opa), shs=jnp.asarray(shs),
+             normal=jnp.asarray(normal), alive=jnp.asarray(alive))
+    cam = dict(w2c=jnp.eye(4),
+               K=jnp.asarray([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]],
+                             jnp.float32),
+               campos=jnp.zeros(3))
+    st = RasterSettings(height=H, width=W, block_capacity=256, tile_capacity=64)
+    return g, cam, st
+
+
+def reference_blend(g, cam, st):
+    """Brute-force per-pixel forward with the same math (numpy)."""
+    pr = project(g["xyz"], g["scales"], g["rotations"], g["opacity"], g["shs"],
+                 g["normal"], g["alive"], cam["w2c"], cam["K"], cam["campos"],
+                 st.width, st.height, st.sh_degree, st.normal_threshold)
+    order = np.argsort(np.where(np.asarray(pr.visible), np.asarray(pr.depth), np.inf))
+    mean2d = np.asarray(pr.mean2d)[order]
+    conic = np.asarray(pr.conic)[order]
+    rgb = np.asarray(pr.rgb)[order]
+    opa = np.asarray(pr.opacity)[order]
+    z = np.asarray(pr.depth)[order]
+    vis = np.asarray(pr.visible)[order]
+    radius = np.asarray(pr.radius)[order]
+    elig = np.asarray(pr.normal_elig)[order]
+
+    H, W = st.height, st.width
+    color = np.zeros((H, W, 3))
+    depth = np.zeros((H, W))
+    didx = np.full((H, W), -1)
+    T_map = np.ones((H, W))
+    for py in range(H):
+        for px in range(W):
+            T = 1.0
+            for k in range(len(order)):
+                if not vis[k]:
+                    break
+                dx, dy = px - mean2d[k, 0], py - mean2d[k, 1]
+                # bbox test like the tiled path
+                if abs(dx) > radius[k] and abs(dy) > radius[k]:
+                    pass
+                power = -0.5 * (conic[k, 0] * dx * dx + conic[k, 2] * dy * dy) \
+                    - conic[k, 1] * dx * dy
+                if power > 0:
+                    continue
+                alpha = min(opa[k] * np.exp(power), 0.99)
+                if alpha < 1 / 255:
+                    continue
+                if alpha >= st.opaque_threshold and elig[k] and didx[py, px] < 0:
+                    depth[py, px] = z[k]
+                    didx[py, px] = order[k]
+                color[py, px] += alpha * T * rgb[k]
+                T *= 1 - alpha
+                if T < st.T_threshold:
+                    # tiled path only stops at chunk granularity; keep going
+                    pass
+            T_map[py, px] = T
+    return color, depth, didx, T_map
+
+
+@pytest.mark.parametrize("differentiable", [False, True])
+def test_blend_matches_bruteforce(differentiable):
+    g, cam, st = make_scene()
+    out = render(g, cam, st, differentiable=differentiable)
+    ref_color, ref_depth, ref_didx, ref_T = reference_blend(g, cam, st)
+    assert np.allclose(np.asarray(out["render"]), ref_color, atol=2e-3)
+    assert np.allclose(np.asarray(out["depth"])[..., 0], ref_depth, atol=1e-4)
+    assert np.array_equal(np.asarray(out["depth_index_map"]), ref_didx)
+    assert np.allclose(np.asarray(out["T_map"])[..., 0], ref_T, atol=2e-3)
+
+
+def test_projection_depth_and_center():
+    g, cam, st = make_scene(n_alive=1)
+    pr = project(g["xyz"], g["scales"], g["rotations"], g["opacity"], g["shs"],
+                 g["normal"], g["alive"], cam["w2c"], cam["K"], cam["campos"],
+                 st.width, st.height, 3, 0.5)
+    xyz = np.asarray(g["xyz"][0])
+    K = np.asarray(cam["K"])
+    assert np.isclose(float(pr.depth[0]), xyz[2])
+    expect_u = K[0, 0] * xyz[0] / xyz[2] + K[0, 2]
+    assert np.isclose(float(pr.mean2d[0, 0]), expect_u, atol=1e-3)
+
+
+def test_binning_lists_sorted_by_depth():
+    g, cam, st = make_scene(n_alive=16)
+    pr = project(g["xyz"], g["scales"], g["rotations"], g["opacity"], g["shs"],
+                 g["normal"], g["alive"], cam["w2c"], cam["K"], cam["campos"],
+                 st.width, st.height, 3, 0.5)
+    bins = binning.bin_gaussians(pr, st.height, st.width, 256, 64)
+    depth_sorted = np.asarray(pr.depth)[np.asarray(bins.order)]
+    lists = np.asarray(bins.tile_lists)
+    counts = np.asarray(bins.tile_counts)
+    for t in range(lists.shape[0]):
+        entries = lists[t, :counts[t]]
+        entries = entries[entries < pr.depth.shape[0]]
+        d = depth_sorted[entries]
+        assert np.all(np.diff(d) >= -1e-6)
+
+
+def test_tile_mask_skips_tiles():
+    g, cam, st = make_scene()
+    ty, tx = binning.tile_grid_shape(st.height, st.width)
+    mask = jnp.zeros((ty, tx), jnp.int32)
+    out = render(g, cam, st, tile_mask=mask)
+    assert np.all(np.asarray(out["render"]) == 0)
+    assert np.all(np.asarray(out["T_map"]) == 1)
+    full = render(g, cam, st, tile_mask=jnp.ones((ty, tx), jnp.int32))
+    nomask = render(g, cam, st)
+    assert np.allclose(np.asarray(full["render"]), np.asarray(nomask["render"]),
+                       atol=1e-5)
+
+
+def test_gradients_finite_and_localized():
+    g, cam, st = make_scene()
+
+    def loss(params):
+        out = render(dict(g, **params), cam, st, differentiable=True)
+        return jnp.sum(out["render"] ** 2) + jnp.sum(out["depth"] ** 2)
+
+    grads = jax.grad(loss)({k: g[k] for k in
+                            ("xyz", "scales", "rotations", "opacity", "shs")})
+    alive = np.asarray(g["alive"])
+    for k, v in grads.items():
+        v = np.asarray(v)
+        assert np.isfinite(v).all(), k
+        dead = v[~alive].reshape(-1)
+        assert np.all(dead == 0), f"dead gaussians got {k} gradient"
+
+
+def test_finite_difference_gradcheck():
+    """Color-vs-xyz gradient against central differences."""
+    g, cam, st = make_scene(n_alive=2, H=32, W=32)
+
+    def loss(xyz):
+        out = render(dict(g, xyz=xyz), cam, st, differentiable=True)
+        return jnp.sum(out["render"] * jnp.linspace(0, 1, 32)[None, :, None])
+
+    grad = np.asarray(jax.grad(loss)(g["xyz"]))
+    eps = 3e-4
+    rel_errs = []
+    for gi in range(2):
+        for d in range(2):  # x, y (z moves the depth sort; fd less stable)
+            x_p = np.asarray(g["xyz"]).copy(); x_p[gi, d] += eps
+            x_m = np.asarray(g["xyz"]).copy(); x_m[gi, d] -= eps
+            fd = (float(loss(jnp.asarray(x_p))) - float(loss(jnp.asarray(x_m)))) / (2 * eps)
+            rel_errs.append(abs(grad[gi, d] - fd) / max(abs(fd), 1e-1))
+    # the true gradient has jump discontinuities (alpha cutoffs, the 0.99
+    # clamp, bbox/binning boundaries — identical in the reference CUDA), so
+    # central differences carry event noise; require close median agreement
+    rel_errs = np.sort(rel_errs)
+    assert rel_errs[1] < 0.05, rel_errs
+    assert rel_errs[-1] < 0.25, rel_errs
+
+
+def test_render_empty_map():
+    g, cam, st = make_scene(n_alive=0)
+    out = render(g, cam, st)
+    assert np.all(np.asarray(out["render"]) == 0)
+    assert np.all(np.asarray(out["depth_index_map"]) == -1)
+    assert np.all(np.asarray(out["T_map"]) == 1)

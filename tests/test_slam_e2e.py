@@ -1,0 +1,96 @@
+"""End-to-end SLAM smoke tests on the synthetic scene (CPU)."""
+
+import numpy as np
+import pytest
+
+from rtgslam_tpu.config import OptimizationParams
+from rtgslam_tpu.slam import Mapper, Tracker
+from rtgslam_tpu.slam.eval import eval_frame
+
+
+@pytest.fixture(scope="module")
+def slam_run(request):
+    base_args = request.getfixturevalue("base_args")
+    synthetic_cams = request.getfixturevalue("synthetic_cams")
+    import copy
+
+    args = copy.deepcopy(base_args)
+    args.use_gt_pose = False
+    args.icp_use_model_depth = True
+    opt = OptimizationParams().extract(args)
+    tracker = Tracker(args)
+    mapper = Mapper(args)
+    for i, cam in enumerate(synthetic_cams):
+        fm = tracker.map_preprocess(cam, i)
+        tracker.tracking(cam, fm)
+        mapper.mapping(cam, fm, i, opt)
+        mapper.get_render_output(cam)
+        tracker.update_last_status(
+            cam, mapper.model_map["render_depth"], mapper.frame_map["depth_map"],
+            mapper.model_map["render_normal"], mapper.frame_map["normal_map_w"])
+        mapper.time += 1
+    return tracker, mapper, synthetic_cams
+
+
+def test_tracking_accuracy(slam_run):
+    tracker, _, cams = slam_run
+    ate = tracker.eval_ate()
+    assert ate < 1.0, f"ATE {ate} cm too high"   # sub-centimetre on synthetic
+
+
+def test_map_grows_and_renders(slam_run):
+    _, mapper, cams = slam_run
+    assert mapper.get_unstable_num + mapper.get_stable_num > 500
+    m = eval_frame(mapper, cams[-1])
+    assert m["depth_l1_cm"] < 2.0
+    assert np.isfinite(m["psnr"]) and m["psnr"] > 8.0
+    # quality where the map has coverage
+    out = mapper._render(cams[-1].device_dict(), "global")
+    img = np.asarray(out["render"])
+    T = np.asarray(out["T_map"])[..., 0]
+    covered = T < 0.3
+    assert covered.mean() > 0.3
+    err = np.abs(img - np.asarray(cams[-1].image))[covered]
+    psnr_cov = -20 * np.log10(np.sqrt((err ** 2).mean()) + 1e-9)
+    assert psnr_cov > 14.0, f"covered-region PSNR {psnr_cov}"
+
+
+def test_checkpoint_roundtrip(slam_run, tmp_path):
+    _, mapper, cams = slam_run
+    path = str(tmp_path / "ckpt")
+    mapper.save_model(path=path)
+    import os
+    assert os.path.exists(path + ".ply") or os.path.exists(path + "_stable.ply")
+    # reload into a fresh mapper (metric.py flow)
+    import copy
+    fresh = Mapper(copy.deepcopy(mapper.args))
+    src = path + "_merge.ply" if os.path.exists(path + "_merge.ply") else (
+        path + "_stable.ply" if os.path.exists(path + "_stable.ply") else path + ".ply")
+    fresh.load_model(src)
+    fresh._ensure_settings(cams[-1])
+    out = fresh._render(cams[-1].device_dict(), "global")
+    assert np.asarray(out["T_map"]).min() < 0.9  # something renders
+
+
+def test_trajectory_export(slam_run, tmp_path):
+    tracker, _, _ = slam_run
+    ate = tracker.save_traj(str(tmp_path))
+    import os
+    assert os.path.exists(tmp_path / "save_traj" / "pose_es.npy")
+    assert os.path.exists(tmp_path / "save_traj" / "traj_tum.txt")
+    assert np.isfinite(ate)
+
+
+def test_fake_pose_backend_roundtrip():
+    from rtgslam_tpu.slam.pose_backend import FakePoseBackend
+    from rtgslam_tpu.slam.tracker import convert_poses
+
+    b = FakePoseBackend()
+    b.initialize(True)
+    b.process_image_rgbd(None, None, 0.0)
+    rel = np.eye(4); rel[:3, 3] = [0.01, 0, 0]
+    b.track_with_icp_pose(None, None, rel.astype(np.float32), 1.0)
+    b.track_with_icp_pose(None, None, rel.astype(np.float32), 2.0)
+    poses, stamps = convert_poses(b.get_trajectory_points())
+    assert len(poses) == 3
+    assert np.allclose(poses[-1][:3, 3], [0.02, 0, 0], atol=1e-6)
