@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import binning, blend
-from .project import project
+from .project import project_geometry, shade
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,6 +45,7 @@ class RasterSettings:
     scale_modifier: float = 1.0
     block_capacity: int = 4096
     tile_capacity: int = 1024
+    max_visible: int = 131072
 
     @classmethod
     def from_args(cls, args, height: int, width: int,
@@ -63,6 +64,7 @@ class RasterSettings:
             color_sigma=args.color_sigma,
             block_capacity=getattr(args, "block_capacity", 4096),
             tile_capacity=getattr(args, "tile_capacity", 1024),
+            max_visible=getattr(args, "max_visible", 131072),
         )
 
 
@@ -78,32 +80,29 @@ def _render_impl(
     with_tile_mask: bool,
 ):
     H, W = settings.height, settings.width
-    proj = project(
-        xyz=gaussians["xyz"],
-        scaling=gaussians["scales"],
-        rotation=gaussians["rotations"],
-        opacity=gaussians["opacity"],
-        shs=gaussians["shs"],
-        normal=gaussians["normal"],
-        alive=gaussians["alive"],
-        w2c=w2c, K=K, campos=campos,
-        width=W, height=H,
-        sh_degree=settings.sh_degree,
-        normal_threshold=settings.normal_threshold,
-        scale_modifier=settings.scale_modifier,
+    geo = project_geometry(
+        gaussians["xyz"], gaussians["scales"], gaussians["rotations"],
+        gaussians["alive"], w2c, K, W, H, settings.scale_modifier,
     )
 
     bins = binning.bin_gaussians(
-        proj, H, W,
+        geo, H, W,
         block_capacity=settings.block_capacity,
         tile_capacity=settings.tile_capacity,
+        max_visible=settings.max_visible,
         tile_mask=tile_mask if with_tile_mask else None,
     )
 
+    # shade only the depth-sorted visible working set
     order = bins.order
+    rgb, elig = shade(
+        gaussians["xyz"][order], gaussians["shs"][order],
+        gaussians["normal"][order], campos,
+        settings.sh_degree, settings.normal_threshold,
+    )
     feat = blend._pack_features((
-        proj.mean2d[order], proj.conic[order], proj.depth[order],
-        proj.rgb[order], proj.opacity[order], proj.normal_elig[order],
+        geo.mean2d[order], geo.conic[order], geo.depth[order],
+        rgb, gaussians["opacity"].reshape(-1)[order], elig,
     ))
     origins = binning.tile_origins(H, W)
     tiles = blend.blend_tiles(

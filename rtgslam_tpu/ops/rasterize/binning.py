@@ -1,21 +1,22 @@
 """Depth sorting and hierarchical tile binning with static shapes.
 
 Replaces the CUDA rasterizer's duplicate+radix-sort tile binning with a
-TPU-friendly two-level scheme that never materializes dynamic-length lists:
+TPU-friendly scheme that never materializes dynamic-length lists:
 
-1. one global depth ``argsort`` of the fixed-capacity gaussian array (XLA
-   sort on device; invisible gaussians sort to the end via +inf keys);
-2. coarse binning into 128x128-pixel *blocks*: a [B, P] overlap test
-   compacted to ``block_capacity`` indices per block with a static-size
-   ``nonzero`` (cumsum + scatter under the hood);
-3. fine binning of each block's list into its 8x8 grid of 16x16-pixel
-   *tiles* with ``tile_capacity`` entries each.
+1. one global depth ``argsort`` of the fixed-capacity gaussian array
+   (invisible gaussians sort to the end via +inf keys), truncated to a
+   static ``max_visible`` working set — every later stage scales with the
+   *visible* population, not the map capacity;
+2. coarse binning into 128x128-pixel *blocks* and fine binning into their
+   16x16-pixel *tiles*.  Each level is ONE batched cumsum over the overlap
+   mask plus ONE scatter into the fixed-capacity lists (vmapped ``nonzero``
+   compiles to a serial kernel per row — measured 60x slower);
+3. because step 1 pre-sorts by depth and the compaction scatter preserves
+   order, every per-tile list is automatically front-to-back — the property
+   the blend stage relies on.
 
-Because step 1 pre-sorts by depth and the compactions are stable, every
-per-tile list is automatically in front-to-back order — the property the
-blend stage relies on.  Overflow beyond a capacity drops the *farthest*
-gaussians of that bin (they are the most occluded); overflow counts are
-returned for observability.
+Overflow beyond any capacity drops the *farthest* gaussians of that bin
+(the most occluded); overflow counts are returned for observability.
 """
 
 from __future__ import annotations
@@ -37,15 +38,48 @@ def cdiv(a: int, b: int) -> int:
 
 
 class Binning(NamedTuple):
-    tile_lists: jnp.ndarray   # [T, Kt] int32 indices into the sorted arrays (sentinel = P)
+    tile_lists: jnp.ndarray   # [T, Kt] int32 indices into the truncated sorted arrays (sentinel = V)
     tile_counts: jnp.ndarray  # [T] int32 valid entries per tile
-    order: jnp.ndarray        # [P] sorted -> original index
-    overflow: jnp.ndarray     # [] int32 total dropped entries (block+tile)
+    order: jnp.ndarray        # [V] sorted -> original index (valid prefix)
+    n_visible: jnp.ndarray    # [] int32
+    overflow: jnp.ndarray     # [] int32 dropped entries (visible+block+tile)
 
 
 def tile_grid_shape(height: int, width: int):
     """(tiles_y, tiles_x) matching the reference tile-mask layout."""
     return cdiv(height, TILE), cdiv(width, TILE)
+
+
+def _compact_rows(hit: jnp.ndarray, capacity: int, fill: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row stable compaction of a [..., N] boolean mask into index lists.
+
+    Returns (lists [..., capacity] int32 with ``fill`` sentinel, counts).
+    One cumsum + one scatter for the whole batch.
+    """
+    n = hit.shape[-1]
+    lead = hit.shape[:-1]
+    cum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
+    counts = cum[..., -1]
+    pos = cum - 1                                   # target slot when hit
+    src = jax.lax.broadcasted_iota(jnp.int32, hit.shape, hit.ndim - 1)
+    # flatten leading dims -> single scatter with computed flat offsets
+    import math
+
+    rows = math.prod(lead) if lead else 1
+    hit_f = hit.reshape(rows, n)
+    pos_f = pos.reshape(rows, n)
+    src_f = src.reshape(rows, n)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0)
+    flat_target = jnp.where(
+        hit_f & (pos_f < capacity),
+        row_iota * capacity + pos_f,
+        rows * capacity,                            # OOB -> dropped
+    )
+    out = jnp.full((rows * capacity,), fill, jnp.int32)
+    out = out.at[flat_target.reshape(-1)].set(
+        src_f.reshape(-1).astype(jnp.int32), mode="drop")
+    return (out.reshape(*lead, capacity),
+            jnp.minimum(counts, capacity).astype(jnp.int32))
 
 
 def bin_gaussians(
@@ -54,6 +88,7 @@ def bin_gaussians(
     width: int,
     block_capacity: int,
     tile_capacity: int,
+    max_visible: int,
     tile_mask: jnp.ndarray | None = None,
 ) -> Binning:
     """Build per-tile front-to-back index lists.
@@ -62,74 +97,71 @@ def bin_gaussians(
     (render.py:101-108): tiles with 0 get empty lists so the blend skips them.
     """
     P = proj.depth.shape[0]
+    V = min(max_visible, P)
     tiles_y, tiles_x = tile_grid_shape(height, width)
     blocks_y, blocks_x = cdiv(tiles_y, TILES_PER_BLOCK), cdiv(tiles_x, TILES_PER_BLOCK)
     B = blocks_y * blocks_x
     T = B * TILES_PER_BLOCK * TILES_PER_BLOCK
 
-    # ---- 1. global depth sort (invisible -> +inf -> end) ------------------
+    # ---- 1. global depth sort, truncated to the static working set -------
     keys = jnp.where(proj.visible, proj.depth, jnp.inf)
-    order = jnp.argsort(keys)                         # [P]
+    order = jax.lax.top_k(-keys, V)[1].astype(jnp.int32)  # V smallest depths
+    n_visible = jnp.sum(proj.visible).astype(jnp.int32)
+    n_valid = jnp.minimum(n_visible, V)
+    visible_overflow = n_visible - n_valid
+
     mean2d = proj.mean2d[order]
     radius = proj.radius[order]
-    visible = proj.visible[order]
+    rank = jnp.arange(V, dtype=jnp.int32)
+    valid = rank < n_valid
 
-    x0 = mean2d[:, 0] - radius
-    x1 = mean2d[:, 0] + radius
-    y0 = mean2d[:, 1] - radius
-    y1 = mean2d[:, 1] + radius
+    mx = mean2d[:, 0]
+    my = mean2d[:, 1]
+    r2 = radius * radius
+
+    def circle_hits_rect(cx, cy, rx0, ry0, size):
+        """Tighter circle-vs-rect test than bbox overlap (~20-30% fewer
+        gaussian-tile pairs -> fewer alpha/exp evals in the blend)."""
+        nx = jnp.clip(cx, rx0, rx0 + size)
+        ny = jnp.clip(cy, ry0, ry0 + size)
+        dx = cx - nx
+        dy = cy - ny
+        return dx * dx + dy * dy <= r2
 
     # ---- 2. coarse block binning -----------------------------------------
     bx = jnp.arange(blocks_x, dtype=jnp.float32) * BLOCK
     by = jnp.arange(blocks_y, dtype=jnp.float32) * BLOCK
-    # [B] pixel bounds of every block
-    block_x0 = jnp.tile(bx, blocks_y)
+    block_x0 = jnp.tile(bx, blocks_y)               # [B]
     block_y0 = jnp.repeat(by, blocks_x)
-    hit_block = (
-        visible[None, :]
-        & (x1[None, :] > block_x0[:, None])
-        & (x0[None, :] < (block_x0 + BLOCK)[:, None])
-        & (y1[None, :] > block_y0[:, None])
-        & (y0[None, :] < (block_y0 + BLOCK)[:, None])
-    )                                                  # [B, P]
+    hit_block = valid[None, :] & circle_hits_rect(
+        mx[None, :], my[None, :], block_x0[:, None], block_y0[:, None], BLOCK)
+    # [B, V]
     block_total = hit_block.sum(axis=1)
-
-    def compact(mask, capacity, fill):
-        idx = jnp.nonzero(mask, size=capacity, fill_value=fill)[0]
-        return idx.astype(jnp.int32)
-
-    block_lists = jax.vmap(lambda m: compact(m, block_capacity, P))(hit_block)
-    block_counts = jnp.minimum(block_total, block_capacity).astype(jnp.int32)
+    block_lists, block_counts = _compact_rows(hit_block, block_capacity, V)
     block_overflow = (block_total - block_counts).sum()
 
     # ---- 3. fine tile binning within each block ---------------------------
-    # gather the block's gaussian bboxes: [B, Kb]
     def gather_pad(arr, fill_value):
         padded = jnp.concatenate([arr, jnp.full((1,), fill_value, arr.dtype)])
         return padded[block_lists]
 
-    gx0 = gather_pad(x0, jnp.inf)
-    gx1 = gather_pad(x1, -jnp.inf)
-    gy0 = gather_pad(y0, jnp.inf)
-    gy1 = gather_pad(y1, -jnp.inf)
+    gmx = gather_pad(mx, jnp.inf)                   # [B, Kb]
+    gmy = gather_pad(my, jnp.inf)
+    gr2 = gather_pad(r2, 0.0)
 
-    # tile origins within a block: [64]
     txy = jnp.arange(TILES_PER_BLOCK, dtype=jnp.float32) * TILE
-    tile_dx = jnp.tile(txy, TILES_PER_BLOCK)        # x-offset of tile in block
+    tile_dx = jnp.tile(txy, TILES_PER_BLOCK)        # [64]
     tile_dy = jnp.repeat(txy, TILES_PER_BLOCK)
-
     tile_x0 = block_x0[:, None] + tile_dx[None, :]  # [B, 64]
     tile_y0 = block_y0[:, None] + tile_dy[None, :]
 
-    hit_tile = (
-        (gx1[:, None, :] > tile_x0[:, :, None])
-        & (gx0[:, None, :] < (tile_x0 + TILE)[:, :, None])
-        & (gy1[:, None, :] > tile_y0[:, :, None])
-        & (gy0[:, None, :] < (tile_y0 + TILE)[:, :, None])
-    )                                                # [B, 64, Kb]
+    nx = jnp.clip(gmx[:, None, :], tile_x0[:, :, None], (tile_x0 + TILE)[:, :, None])
+    ny = jnp.clip(gmy[:, None, :], tile_y0[:, :, None], (tile_y0 + TILE)[:, :, None])
+    ddx = gmx[:, None, :] - nx
+    ddy = gmy[:, None, :] - ny
+    hit_tile = (ddx * ddx + ddy * ddy) <= gr2[:, None, :]  # [B, 64, Kb]
 
     if tile_mask is not None:
-        # pad mask to the block grid then flatten to [B, 64]
         padded = jnp.zeros(
             (blocks_y * TILES_PER_BLOCK, blocks_x * TILES_PER_BLOCK), jnp.int32
         ).at[:tiles_y, :tiles_x].set(tile_mask.astype(jnp.int32))
@@ -138,24 +170,22 @@ def bin_gaussians(
         hit_tile = hit_tile & (m[:, :, None] > 0)
 
     tile_total = hit_tile.sum(axis=2)
-
-    def tile_compact(mask, blist):
-        # positions into the block list; map through to global sorted indices
-        pos = jnp.nonzero(mask, size=tile_capacity, fill_value=block_capacity)[0]
-        blist_pad = jnp.concatenate([blist, jnp.array([P], jnp.int32)])
-        return blist_pad[pos]
-
-    tile_lists = jax.vmap(jax.vmap(tile_compact, in_axes=(0, None)))(
-        hit_tile, block_lists
-    )                                                # [B, 64, Kt]
-    tile_counts = jnp.minimum(tile_total, tile_capacity).astype(jnp.int32)
+    tile_pos, tile_counts = _compact_rows(hit_tile, tile_capacity, block_capacity)
     tile_overflow = (tile_total - tile_counts).sum()
+
+    # positions into the block list -> global sorted indices
+    block_lists_pad = jnp.concatenate(
+        [block_lists, jnp.full((B, 1), V, jnp.int32)], axis=1)
+    tile_lists = jnp.take_along_axis(
+        block_lists_pad[:, None, :].repeat(TILES_PER_BLOCK * TILES_PER_BLOCK, 1),
+        jnp.minimum(tile_pos, block_capacity), axis=2)
 
     return Binning(
         tile_lists=tile_lists.reshape(T, tile_capacity),
         tile_counts=tile_counts.reshape(T),
-        order=order.astype(jnp.int32),
-        overflow=(block_overflow + tile_overflow).astype(jnp.int32),
+        order=order,
+        n_visible=n_valid,
+        overflow=(visible_overflow + block_overflow + tile_overflow).astype(jnp.int32),
     )
 
 

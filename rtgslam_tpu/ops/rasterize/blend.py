@@ -172,21 +172,25 @@ def blend_tiles(
     differentiable: bool = False,
 ) -> TileOutputs:
     """Blend every tile.  vmapped over tiles; chunked over each tile's list."""
-    P = order.shape[0]
     Kt = tile_lists.shape[1]
     chunk = min(CHUNK, Kt)
     assert Kt % chunk == 0, "tile_capacity must be a power of two >= 64"
     n_chunks = Kt // chunk
-    # map sorted-space sentinel P -> original-index sentinel -1
+    # map sorted-space sentinel V -> original-index sentinel -1
     order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
 
-    def run_tile(tlist, count, origin):
+    # Pre-gather every tile's features into contiguous [T, Kt, 11] layout
+    # with ONE batched gather: the chunk loop then reads sequential memory.
+    # (Per-chunk random-row gathers inside the loop measured ~5x slower.)
+    tile_feat = proj_sorted_feat[tile_lists]          # [T, Kt, 11]
+    tile_gidx = order_pad[tile_lists]                 # [T, Kt]
+
+    def run_tile(tfeat, tgidx, count, origin):
         pix = _tile_pixels(origin)
 
         def chunk_step(carry, c):
-            sl = jax.lax.dynamic_slice(tlist, (c * chunk,), (chunk,))
-            feat = proj_sorted_feat[sl]
-            gidx = order_pad[sl]
+            feat = jax.lax.dynamic_slice_in_dim(tfeat, c * chunk, chunk, axis=0)
+            gidx = jax.lax.dynamic_slice_in_dim(tgidx, c * chunk, chunk, axis=0)
             return _blend_chunk(carry, feat, gidx, pix, opaque_threshold)
 
         if differentiable:
@@ -219,4 +223,4 @@ def blend_tiles(
             T_final=carry.T,
         )
 
-    return jax.vmap(run_tile)(tile_lists, tile_counts, origins)
+    return jax.vmap(run_tile)(tile_feat, tile_gidx, tile_counts, origins)

@@ -2,9 +2,16 @@
 
 Replaces the projection stage of the reference CUDA rasterizer
 (``diff-gaussian-rasterization-depth``, interface at ``SLAM/render.py:60-128``)
-with batched jnp: one fused pass computes view-space depth, pixel means, 2D
-conics, radii, SH colors, and visibility/eligibility masks for the whole
-fixed-capacity gaussian array.  Everything is differentiable by construction.
+with batched jnp.  Split in two for performance:
+
+* :func:`project_geometry` — the screen-space geometry every gaussian needs
+  for binning (runs over the full fixed-capacity array);
+* :func:`shade` — SH color + the opaque-normal gate, evaluated only on the
+  depth-sorted *visible* subset (SH coefficients are the fattest per-gaussian
+  payload; shading after compaction cuts that HBM traffic by the
+  visible/capacity ratio).
+
+Everything is differentiable by construction.
 """
 
 from __future__ import annotations
@@ -24,41 +31,40 @@ DEPTH_NEAR = 0.2
 
 
 class Projected(NamedTuple):
-    """Per-gaussian screen-space quantities, all [P] or [P, k]."""
+    """Per-gaussian screen-space geometry, all [P] or [P, k]."""
 
     mean2d: jnp.ndarray   # [P, 2] pixel coordinates
     conic: jnp.ndarray    # [P, 3] inverse 2D covariance (a, b, c)
     depth: jnp.ndarray    # [P] view-space z
     radius: jnp.ndarray   # [P] screen-space 3-sigma radius (pixels)
-    rgb: jnp.ndarray      # [P, 3] SH-evaluated color (clamped >= 0)
-    opacity: jnp.ndarray  # [P]
-    normal_elig: jnp.ndarray  # [P] bool: passes the opaque-normal gate
     visible: jnp.ndarray  # [P] bool
 
 
-def project(
+class FullProjection(NamedTuple):
+    """Geometry + shading (compat surface for tests/tools)."""
+
+    mean2d: jnp.ndarray
+    conic: jnp.ndarray
+    depth: jnp.ndarray
+    radius: jnp.ndarray
+    rgb: jnp.ndarray
+    opacity: jnp.ndarray
+    normal_elig: jnp.ndarray
+    visible: jnp.ndarray
+
+
+def project_geometry(
     xyz: jnp.ndarray,
     scaling: jnp.ndarray,
     rotation: jnp.ndarray,
-    opacity: jnp.ndarray,
-    shs: jnp.ndarray,
-    normal: jnp.ndarray,
     alive: jnp.ndarray,
     w2c: jnp.ndarray,
     K: jnp.ndarray,
-    campos: jnp.ndarray,
     width: int,
     height: int,
-    sh_degree: int,
-    normal_threshold: float,
     scale_modifier: float = 1.0,
 ) -> Projected:
-    """Project activated gaussians into screen space.
-
-    ``scaling``/``opacity``/``rotation`` are already activated (exp/sigmoid/
-    normalize), matching the data handed to the reference rasterizer by
-    ``Mapping.global_params`` (mapper.py:1081-1108).
-    """
+    """Project activated gaussians into screen space (geometry only)."""
     R, t = w2c[:3, :3], w2c[:3, 3]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
@@ -100,18 +106,6 @@ def project(
     lambda1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
     radius = jnp.ceil(3.0 * jnp.sqrt(lambda1))
 
-    # SH color along the actual viewing direction (grad-safe normalization:
-    # dead rows can sit exactly at the camera origin).
-    dirs = xyz - campos
-    dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-12)
-    rgb = jnp.maximum(sh_utils.eval_sh(sh_degree, shs, dirs) + 0.5, 0.0)
-
-    # Opaque-depth eligibility: the paper's single-opaque-gaussian depth only
-    # counts gaussians whose disc faces the camera within
-    # renderer_normal_threshold degrees (settings normal_threshold = cos θ,
-    # render.py:38-40,81).
-    normal_elig = jnp.abs(jnp.sum(normal * dirs, axis=-1)) >= normal_threshold
-
     on_screen = (
         (mean2d[..., 0] + radius > 0)
         & (mean2d[..., 0] - radius < width)
@@ -125,8 +119,45 @@ def project(
         conic=conic,
         depth=z,
         radius=jnp.where(visible, radius, 0.0),
-        rgb=rgb,
-        opacity=opacity.reshape(-1),
-        normal_elig=normal_elig,
         visible=visible,
+    )
+
+
+def shade(
+    xyz: jnp.ndarray,
+    shs: jnp.ndarray,
+    normal: jnp.ndarray,
+    campos: jnp.ndarray,
+    sh_degree: int,
+    normal_threshold: float,
+):
+    """SH color + opaque-normal eligibility for a (sub)set of gaussians.
+
+    The eligibility implements the paper's opaque-depth normal gate: only
+    gaussians whose disc faces the camera within renderer_normal_threshold
+    degrees can be the depth-defining hit (settings normal_threshold = cos θ,
+    render.py:38-40,81).
+    """
+    # grad-safe normalization: dead rows can sit exactly at the camera origin
+    dirs = xyz - campos
+    dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-12)
+    rgb = jnp.maximum(sh_utils.eval_sh(sh_degree, shs, dirs) + 0.5, 0.0)
+    normal_elig = jnp.abs(jnp.sum(normal * dirs, axis=-1)) >= normal_threshold
+    return rgb, normal_elig
+
+
+def project(
+    xyz, scaling, rotation, opacity, shs, normal, alive,
+    w2c, K, campos, width, height, sh_degree, normal_threshold,
+    scale_modifier: float = 1.0,
+) -> FullProjection:
+    """Full projection incl. shading over the whole array (compat surface;
+    the production path shades post-compaction, see api.py)."""
+    geo = project_geometry(xyz, scaling, rotation, alive, w2c, K,
+                           width, height, scale_modifier)
+    rgb, elig = shade(xyz, shs, normal, campos, sh_degree, normal_threshold)
+    return FullProjection(
+        mean2d=geo.mean2d, conic=geo.conic, depth=geo.depth, radius=geo.radius,
+        rgb=rgb, opacity=opacity.reshape(-1), normal_elig=elig,
+        visible=geo.visible,
     )

@@ -93,9 +93,10 @@ def dp_optimize_step(
 
         # the loss report is device-varying (depends on the local frame), so
         # the loop carry must start device-varying too
-        init_report = jax.lax.pvary(
+        init_report = jax.lax.pcast(
             {k: jnp.float32(0)
-             for k in ("total", "color", "depth", "normal", "attach")}, axis)
+             for k in ("total", "color", "depth", "normal", "attach")},
+            (axis,), to="varying")
         params, _, _, report = jax.lax.fori_loop(
             0, n_steps, body, (params, m, v, init_report))
         return params, jax.lax.pmean(report["total"], axis)

@@ -91,6 +91,8 @@ class Mapper:
         self.key = jax.random.PRNGKey(2024)
         self.rng = np.random.default_rng(2024)
         self.max_spawn = self.config.temp_capacity // 2
+        self._cached_render = None
+        self._cached_render_key = None
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -122,9 +124,23 @@ class Mapper:
         return render(gauss, cam_dev, settings or self.settings,
                       tile_mask=tile_mask, differentiable=False)
 
-    def get_render_output(self, frame: Camera):
-        """Full global render for the model map (mapper.py:982-996)."""
+    def get_render_output(self, frame: Camera, reuse: bool = True):
+        """Full global render for the model map (mapper.py:982-996).
+
+        When ``reuse`` and the error-check pass already rendered this frame
+        at the current map state, its output is recycled (saves one full
+        render per frame; the only divergence from the reference is that the
+        handful of gaussians error-deleted in between still appear)."""
+        if reuse and self._cached_render is not None \
+                and self._cached_render_key == (self.time, frame.uid):
+            out = self._cached_render
+            self._set_model_map(out)
+            return out
         out = self._render(frame.device_dict(), "global")
+        self._set_model_map(out)
+        return out
+
+    def _set_model_map(self, out):
         self.model_map = {
             "render_color": out["render"],
             "render_depth": out["depth"],
@@ -133,7 +149,6 @@ class Mapper:
             "render_depth_index": out["depth_index_map"],
             "render_transmission": out["T_map"],
         }
-        return out
 
     # ------------------------------------------------------------------
     # spawning
@@ -401,11 +416,19 @@ class Mapper:
     # ------------------------------------------------------------------
     # error-driven self-healing
     # ------------------------------------------------------------------
-    def error_gaussians_remove(self):
-        if self.get_stable_num <= 0 or not self.processed_frames:
+    def error_gaussians_remove(self, stable_num: Optional[int] = None):
+        if not self.processed_frames:
+            return
+        if stable_num is None:
+            stable_num = self.get_stable_num
+        if stable_num <= 0:
             return
         rec = self.processed_frames[-1]
         out = self._render(rec["cam_dev"], "global")
+        # recycle as this frame's model render (state differs only by the
+        # gaussians the strike pass below deletes/releases)
+        self._cached_render = out
+        self._cached_render_key = (self.time, rec["camera"].uid)
         fm = rec["frame_map"]
         self.state = map_ops.error_update(
             self.state,
@@ -446,7 +469,7 @@ class Mapper:
                     self.state, self.time, self.unstable_time_window, unstable=False)
 
         self.state = map_ops.fix_confident(self.state, self.stable_confidence_thres)
-        self.error_gaussians_remove()
+        self.error_gaussians_remove(stable_num=self.get_stable_num)
         self.state = map_ops.delete_gaussians(
             self.state, self.time, self.unstable_time_window, unstable=True)
 

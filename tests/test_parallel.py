@@ -25,6 +25,12 @@ def test_dp_step_matches_single_device():
     import jax.numpy as jnp
 
     state, frames, settings = _tiny_problem(n_frames=2)
+    # move the second frame's camera so the 2-frame mean gradient is
+    # distinguishable from a frame-0-only gradient (an L1 color target
+    # change alone keeps the same sign pattern -> same gradient)
+    w2c1 = frames.w2c[1].at[0, 3].set(0.15)
+    frames = frames._replace(w2c=frames.w2c.at[1].set(w2c1),
+                             campos=frames.campos.at[1, 0].set(-0.15))
     lrs = {k: jnp.float32(1e-3) for k in opt_mod.PARAM_KEYS}
     hyper = {
         "color_weight": jnp.float32(0.8),

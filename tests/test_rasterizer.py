@@ -118,7 +118,8 @@ def test_binning_lists_sorted_by_depth():
     pr = project(g["xyz"], g["scales"], g["rotations"], g["opacity"], g["shs"],
                  g["normal"], g["alive"], cam["w2c"], cam["K"], cam["campos"],
                  st.width, st.height, 3, 0.5)
-    bins = binning.bin_gaussians(pr, st.height, st.width, 256, 64)
+    bins = binning.bin_gaussians(pr, st.height, st.width, 256, 64,
+                                 max_visible=st.max_visible)
     depth_sorted = np.asarray(pr.depth)[np.asarray(bins.order)]
     lists = np.asarray(bins.tile_lists)
     counts = np.asarray(bins.tile_counts)
