@@ -120,6 +120,45 @@ class Camera:
         return clone
 
 
+@dataclass
+class MiniCam:
+    """Lightweight render-only camera (reference ``cameras.py:195-218``)."""
+
+    width: int
+    height: int
+    FoVy: float
+    FoVx: float
+    znear: float
+    zfar: float
+    w2c_matrix: np.ndarray   # world-to-camera 4x4
+    cx: float = -1.0
+    cy: float = -1.0
+
+    @property
+    def image_width(self):
+        return self.width
+
+    @property
+    def image_height(self):
+        return self.height
+
+    @property
+    def intrinsic(self) -> np.ndarray:
+        fx = geometry.fov2focal(self.FoVx, self.width)
+        fy = geometry.fov2focal(self.FoVy, self.height)
+        cx = self.cx if self.cx > 0 else self.width / 2
+        cy = self.cy if self.cy > 0 else self.height / 2
+        return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
+
+    def device_dict(self) -> dict:
+        w2c = np.asarray(self.w2c_matrix, dtype=np.float32)
+        return {
+            "w2c": w2c,
+            "K": self.intrinsic,
+            "campos": np.linalg.inv(w2c)[:3, 3].astype(np.float32),
+        }
+
+
 def load_camera(args, uid: int, info: CameraInfo, resolution_scale: float = 1.0) -> Camera:
     """Load a frame's RGBD payload into a ``Camera`` (reference
     ``utils/camera_utils.py:22-77``)."""

@@ -230,6 +230,98 @@ def read_ours_scene(datapath, eval=False, llffhold=8, frame_start=0,
     return SceneInfo(infos, [], _normalization(infos), mesh_path)
 
 
+# ---------------------------------------------------------------------------
+# Blender (NeRF-synthetic transforms_*.json) — no depth; ones depth like the
+# reference Camera fallback (cameras.py:73-78)
+# ---------------------------------------------------------------------------
+
+def read_blender_scene(datapath, eval=False, llffhold=8, frame_start=0,
+                       frame_num=-1, frame_step=0) -> SceneInfo:
+    import math
+
+    def load_split(name):
+        with open(os.path.join(datapath, f"transforms_{name}.json")) as f:
+            meta = json.load(f)
+        fovx = meta["camera_angle_x"]
+        infos = []
+        for order, fr in enumerate(meta["frames"]):
+            c2w = np.array(fr["transform_matrix"])
+            # blender->CV: flip y/z axes
+            c2w[:3, 1:3] *= -1
+            w2c = np.linalg.inv(c2w)
+            path = os.path.join(datapath, fr["file_path"] + ".png")
+            import cv2
+
+            probe = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            h, w = probe.shape[:2]
+            fovy = 2 * math.atan(math.tan(fovx / 2) * h / w)
+            infos.append(CameraInfo(
+                uid=order, R=np.transpose(w2c[:3, :3]), T=w2c[:3, 3],
+                FovX=fovx, FovY=fovy, image_path=path, depth_path="",
+                image_name=os.path.basename(path).split(".")[0],
+                width=w, height=h, cx=w / 2, cy=h / 2,
+                timestamp=order / 30.0, depth_scale=1.0, pose_gt=c2w))
+        return infos
+
+    train = load_split("train")
+    test = load_split("test") if os.path.exists(
+        os.path.join(datapath, "transforms_test.json")) else []
+    return SceneInfo(train, test, _normalization(train), None)
+
+
+# ---------------------------------------------------------------------------
+# Colmap (text sparse model: cameras.txt / images.txt)
+# ---------------------------------------------------------------------------
+
+def read_colmap_scene(datapath, eval=False, llffhold=8, frame_start=0,
+                      frame_num=-1, frame_step=0) -> SceneInfo:
+    from scipy.spatial.transform import Rotation
+
+    sparse = os.path.join(datapath, "sparse", "0")
+    cams = {}
+    with open(os.path.join(sparse, "cameras.txt")) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split()
+            cam_id, model, w, h = int(parts[0]), parts[1], int(parts[2]), int(parts[3])
+            params = list(map(float, parts[4:]))
+            if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
+                fx = fy = params[0]
+                cx, cy = params[1], params[2]
+            else:  # PINHOLE and friends
+                fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+            cams[cam_id] = (w, h, fx, fy, cx, cy)
+
+    infos = []
+    with open(os.path.join(sparse, "images.txt")) as f:
+        lines = [l for l in f if not l.startswith("#") and l.strip()]
+    for order, line in enumerate(lines[::2]):  # every other line is 2D points
+        parts = line.split()
+        qw, qx, qy, qz = map(float, parts[1:5])
+        tvec = np.array(list(map(float, parts[5:8])))
+        cam_id = int(parts[8])
+        name = parts[9]
+        w, h, fx, fy, cx, cy = cams[cam_id]
+        Rw2c = Rotation.from_quat([qx, qy, qz, qw]).as_matrix()
+        c2w = np.eye(4)
+        c2w[:3, :3] = Rw2c.T
+        c2w[:3, 3] = -Rw2c.T @ tvec
+        infos.append(CameraInfo(
+            uid=order, R=Rw2c.T, T=tvec, FovX=focal2fov(fx, w),
+            FovY=focal2fov(fy, h),
+            image_path=os.path.join(datapath, "images", name), depth_path="",
+            image_name=name.split(".")[0], width=w, height=h, cx=cx, cy=cy,
+            timestamp=order / 30.0, depth_scale=1.0, pose_gt=c2w))
+    infos.sort(key=lambda c: c.image_name)
+    if eval:
+        train = [c for i, c in enumerate(infos) if i % llffhold != 0]
+        test = [c for i, c in enumerate(infos) if i % llffhold == 0]
+    else:
+        train, test = infos, []
+    return SceneInfo(train, test, _normalization(train), None)
+
+
 scene_load_callbacks: Dict[str, Callable[..., SceneInfo]] = {
     "Replica": read_replica_scene,
     "TUM": read_tum_scene,
@@ -237,6 +329,8 @@ scene_load_callbacks: Dict[str, Callable[..., SceneInfo]] = {
     "Ours": read_ours_scene,
     "ours": read_ours_scene,
     "Scannetpp": lambda *a, **k: read_ours_scene(*a, **k, is_scannetpp=True),
+    "Blender": read_blender_scene,
+    "Colmap": read_colmap_scene,
 }
 
 

@@ -229,7 +229,9 @@ class IcpTracker:
         """Estimate the relative pose T_{t0<-t1} and a success flag."""
         if self.vertex_t0 is None:
             return np.eye(4), True
-        if self.use_model_depth and self.last_model_depth is not None:
+        self.frame_count = getattr(self, "frame_count", 0) + 1
+        if (self.use_model_depth and self.last_model_depth is not None
+                and self.frame_count >= self.warmup_frames):
             self.vertex_t0, self.normal_t0 = build_icp_pyramids(
                 self.last_model_depth, self.K, self.levels)
 

@@ -26,22 +26,12 @@ from ..utils.ply import read_ply
 
 
 def lpips(img: np.ndarray, gt: np.ndarray) -> float:
-    """LPIPS(alex) when weights are available, else NaN."""
-    weights = os.environ.get("LPIPS_WEIGHTS", "")
-    if not weights or not os.path.exists(weights):
-        return float("nan")
+    """LPIPS(alex) when weights are available, else NaN (pure-JAX AlexNet,
+    see models/lpips.py; export weights with scripts/export_lpips_weights.py)."""
+    from ..models.lpips import lpips as lpips_jax
+
     try:
-        import torch
-
-        import torchvision  # noqa: F401
-
-        net = torch.jit.load(weights) if weights.endswith(".pt") else None
-        if net is None:
-            return float("nan")
-        a = torch.from_numpy(img.transpose(2, 0, 1))[None] * 2 - 1
-        b = torch.from_numpy(gt.transpose(2, 0, 1))[None] * 2 - 1
-        with torch.no_grad():
-            return float(net(a, b).item())
+        return lpips_jax(img, gt)
     except Exception:
         return float("nan")
 

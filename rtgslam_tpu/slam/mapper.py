@@ -94,6 +94,27 @@ class Mapper:
         self._cached_render = None
         self._cached_render_key = None
 
+        # optional tensorboard scalars (reference mapper.py:928-931,968-980)
+        self.tb_writer = None
+        if bool(getattr(args, "use_tensorboard", False)) and \
+                getattr(args, "mode", "single process") == "single process":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb_writer = SummaryWriter(self.save_path)
+            except Exception:
+                self.tb_writer = None
+
+    def train_report(self, iteration: int, losses: Dict[str, float]) -> None:
+        if self.tb_writer is not None:
+            for k, v in losses.items():
+                self.tb_writer.add_scalar(f"train/{k}", float(v), iteration)
+
+    def eval_report(self, iteration: int, metrics: Dict[str, float]) -> None:
+        if self.tb_writer is not None:
+            for k, v in metrics.items():
+                self.tb_writer.add_scalar(f"eval/{k}", float(v), iteration)
+
     # ------------------------------------------------------------------
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -330,6 +351,9 @@ class Mapper:
         self.state = map_ops.history_merge(
             self.state, history, self.history_merge_max_weight,
             unstable_mask(self.state))
+        if self.tb_writer is not None:
+            self.train_report(self.get_total_iter,
+                              {k: float(v) for k, v in report.items()})
         return report
 
     def global_optimization(self, opt, select_keyframe_num=-1, is_end=False):

@@ -177,6 +177,28 @@ class Tracker:
         return None
 
     # ------------------------------------------------------------------
+    def save_invalid_tracking(self, path: str, threshold: float = 0.15) -> bool:
+        """Dump the ICP pyramids when the estimated pose drifted badly from
+        ground truth, for postmortem (reference tracker.py:76-95)."""
+        if not self.pose_es or not self.pose_gt:
+            return False
+        err = np.linalg.norm(self.pose_es[-1][:3, 3] - self.pose_gt[-1][:3, 3])
+        if err <= threshold:
+            return False
+        os.makedirs(path, exist_ok=True)
+        frame_id = len(self.pose_es)
+        payload = {}
+        for name, pyr in (("vertex_t0", self.icp.vertex_t0),
+                          ("vertex_t1", self.icp.vertex_t1),
+                          ("normal_t0", self.icp.normal_t0),
+                          ("normal_t1", self.icp.normal_t1)):
+            if pyr is not None:
+                for lvl, arr in enumerate(pyr):
+                    payload[f"{name}_l{lvl}"] = np.asarray(arr)
+        np.savez_compressed(
+            os.path.join(path, f"invalid_tracking_{frame_id}.npz"), **payload)
+        return True
+
     def eval_ate(self, frame_id: int = -1) -> float:
         n = len(self.pose_es) if frame_id == -1 else frame_id
         return traj_utils.ate_rmse(

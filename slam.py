@@ -102,6 +102,18 @@ def main():
     recorder.save(args.save_path)
     print(f"[LOG] ATE RMSE: {ate:.3f} cm  mapping FPS: {fps:.2f}")
 
+    if getattr(args, "pcd_densify", False):
+        from rtgslam_tpu.models.densify import save_densified_ply
+        from rtgslam_tpu.models.gaussian_map import STABLE, to_numpy_dict
+
+        data = to_numpy_dict(mapper.state, STABLE)
+        if data["xyz"].shape[0]:
+            n = save_densified_ply(
+                os.path.join(args.save_path, "save_model", "pcd_densify.ply"),
+                data["xyz"], data["scaling"], data["rotation"],
+                sigma=1, circle_num=30, levels=5)
+            print(f"[LOG] densified pcd: {n} points")
+
 
 if __name__ == "__main__":
     main()

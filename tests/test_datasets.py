@@ -1,0 +1,150 @@
+"""Dataset reader tests over generated fixtures for each supported layout."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rtgslam_tpu.data import Dataset, load_camera
+from rtgslam_tpu.data.synthetic import write_scene
+from rtgslam_tpu.config import GroupParams
+
+
+def make_args(path, dtype):
+    a = GroupParams()
+    a.type = dtype
+    a.source_path = path
+    a.eval = False
+    a.eval_llff = 8
+    a.frame_start = 0
+    a.frame_num = -1
+    a.frame_step = 0
+    a.resolution = 1
+    return a
+
+
+def test_ours_layout_roundtrip(tmp_path):
+    scene_dir = str(tmp_path / "scene")
+    write_scene(scene_dir, n_frames=4, H=48, W=64)
+    ds = Dataset(make_args(scene_dir, "Ours"))
+    assert len(ds) == 4
+    cam = load_camera(make_args(scene_dir, "Ours"), 0,
+                      ds.scene_info.train_cameras[0])
+    assert cam.image.shape == (48, 64, 3)
+    assert cam.depth.shape == (48, 64, 1)
+    assert cam.depth.max() > 0.5  # metres, not mm
+    # poses normalized to first frame
+    assert np.allclose(ds.scene_info.train_cameras[0].pose_gt, np.eye(4), atol=1e-8)
+
+
+def test_replica_layout(tmp_path):
+    import cv2
+
+    root = tmp_path / "Replica"
+    scene = root / "room_test"
+    (scene / "results").mkdir(parents=True)
+    H, W = 32, 48
+    poses = []
+    for i in range(3):
+        img = np.full((H, W, 3), 100 + i, np.uint8)
+        cv2.imwrite(str(scene / "results" / f"frame{i:06d}.jpg"), img)
+        cv2.imwrite(str(scene / "results" / f"depth{i:06d}.png"),
+                    np.full((H, W), 2000, np.uint16))
+        pose = np.eye(4)
+        pose[0, 3] = i * 0.1
+        poses.append(pose)
+    with open(scene / "traj.txt", "w") as f:
+        for p in poses:
+            f.write(" ".join(map(str, p.reshape(-1))) + "\n")
+    with open(root / "cam_params.json", "w") as f:
+        json.dump({"camera": {"fx": 40.0, "cx": W / 2, "cy": H / 2,
+                              "scale": 1000.0, "h": H, "w": W}}, f)
+    ds = Dataset(make_args(str(scene), "Replica"))
+    assert len(ds) == 3
+    cam = load_camera(make_args(str(scene), "Replica"), 1,
+                      ds.scene_info.train_cameras[1])
+    assert np.isclose(cam.depth.mean(), 2.0, atol=1e-3)
+    # first-pose normalization: frame 1 sits 0.1m from frame 0
+    assert np.isclose(np.linalg.norm(ds.scene_info.train_cameras[1].pose_gt[:3, 3]),
+                      0.1, atol=1e-6)
+
+
+def test_tum_layout(tmp_path):
+    import cv2
+    import yaml
+
+    d = tmp_path / "tum_seq"
+    (d / "rgb").mkdir(parents=True)
+    (d / "depth").mkdir()
+    H, W = 32, 48
+    rgb_lines, depth_lines, gt_lines = [], [], ["# header"]
+    for i in range(3):
+        t = i * 0.5
+        cv2.imwrite(str(d / "rgb" / f"{t:.6f}.png"), np.zeros((H, W, 3), np.uint8))
+        cv2.imwrite(str(d / "depth" / f"{t:.6f}.png"),
+                    np.full((H, W), 5000, np.uint16))
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        depth_lines.append(f"{t:.6f} depth/{t:.6f}.png")
+        gt_lines.append(f"{t:.6f} {i*0.01} 0 0 0 0 0 1")
+    (d / "rgb.txt").write_text("\n".join(rgb_lines))
+    (d / "depth.txt").write_text("\n".join(depth_lines))
+    (d / "groundtruth.txt").write_text("\n".join(gt_lines))
+    (d / "config.yaml").write_text(yaml.safe_dump({
+        "fx": 40.0, "fy": 40.0, "cx": W / 2, "cy": H / 2,
+        "crop_edge": 0, "depth_scale": 5000.0}))
+    ds = Dataset(make_args(str(d), "TUM"))
+    assert len(ds) == 3
+    cam = load_camera(make_args(str(d), "TUM"), 0, ds.scene_info.train_cameras[0])
+    assert np.isclose(cam.depth.mean(), 1.0, atol=1e-3)
+
+
+def test_blender_layout(tmp_path):
+    import cv2
+
+    d = tmp_path / "lego"
+    (d / "train").mkdir(parents=True)
+    frames = []
+    for i in range(2):
+        cv2.imwrite(str(d / "train" / f"r_{i}.png"), np.zeros((32, 32, 3), np.uint8))
+        pose = np.eye(4)
+        pose[2, 3] = 2.0 + i
+        frames.append({"file_path": f"train/r_{i}", "transform_matrix": pose.tolist()})
+    (d / "transforms_train.json").write_text(json.dumps(
+        {"camera_angle_x": 0.7, "frames": frames}))
+    ds = Dataset(make_args(str(d), "Blender"))
+    assert len(ds) == 2
+
+
+def test_colmap_layout(tmp_path):
+    import cv2
+
+    d = tmp_path / "colmap_scene"
+    (d / "sparse" / "0").mkdir(parents=True)
+    (d / "images").mkdir()
+    cv2.imwrite(str(d / "images" / "img0.jpg"), np.zeros((32, 32, 3), np.uint8))
+    (d / "sparse" / "0" / "cameras.txt").write_text(
+        "# cameras\n1 PINHOLE 32 32 40.0 40.0 16.0 16.0\n")
+    (d / "sparse" / "0" / "images.txt").write_text(
+        "# images\n1 1 0 0 0 0.1 0.2 0.3 1 img0.jpg\n0 0 0\n")
+    ds = Dataset(make_args(str(d), "Colmap"))
+    assert len(ds) == 1
+    info = ds.scene_info.train_cameras[0]
+    assert np.allclose(info.T, [0.1, 0.2, 0.3])
+
+
+def test_densify_export(tmp_path):
+    from rtgslam_tpu.models.densify import save_densified_ply
+    from rtgslam_tpu.utils.ply import read_ply
+
+    xyz = np.array([[0, 0, 1.0]], np.float32)
+    scaling = np.log(np.array([[0.05, 0.04, 0.004]], np.float32))
+    rot = np.array([[1, 0, 0, 0]], np.float32)
+    path = str(tmp_path / "dense.ply")
+    n = save_densified_ply(path, xyz, scaling, rot, sigma=1, circle_num=8, levels=3)
+    cols = read_ply(path)
+    assert len(cols["x"]) == n == 24
+    pts = np.stack([cols["x"], cols["y"], cols["z"]], 1)
+    # all samples lie near the z=1 disc plane (z-axis is the smallest scale)
+    assert np.abs(pts[:, 2] - 1.0).max() < 1e-5
+    assert np.linalg.norm(pts[:, :2], axis=1).max() <= 0.06
