@@ -1,0 +1,214 @@
+"""Pallas TPU kernel for the front-to-back tile blend (inference path).
+
+The XLA blend (`blend.py`) vmaps a while_loop over tiles, which runs all
+tiles in lockstep until the *slowest* tile finishes.  This kernel maps the
+tile dimension onto the Pallas grid instead, so each 16x16 tile:
+
+* streams its pre-gathered, depth-ordered feature block ([Kt, 11] in VMEM,
+  contiguous — no random access in the hot loop);
+* iterates chunks of 128 gaussians with a per-tile ``lax.while_loop`` that
+  exits as soon as its own list is exhausted or every pixel is saturated
+  (T < T_threshold);
+* computes the [256, 128] alpha matrix on the VPU, the exclusive
+  transmittance via a 7-step Hillis-Steele prefix product (no lax.cumprod
+  dependency in Mosaic), and accumulates color with a [256,128]x[128,3]
+  MXU matmul.  Argmax-style selections use mask-sum picks instead of
+  gathers (vector-unit friendly).
+
+Outputs and semantics are identical to ``blend.blend_tiles``; equivalence is
+pinned by ``tests/test_pallas_blend.py``.  Inference only — gradients go
+through the XLA scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import TILE
+from .blend import ALPHA_EPS, ALPHA_MAX, TileOutputs
+
+CHUNK = 128
+NPIX = TILE * TILE
+
+
+def _prefix_prod(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix product along axis 1 (Hillis-Steele doubling)."""
+    n = x.shape[1]
+    d = 1
+    while d < n:
+        shifted = jnp.concatenate(
+            [jnp.ones_like(x[:, :d]), x[:, :-d]], axis=1)
+        x = x * shifted
+        d *= 2
+    return x
+
+
+def _pick(values: jnp.ndarray, col: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarray:
+    """values [256, C] (or [C] broadcast), sel [256] column index ->
+    per-row picked value, via a one-hot mask sum (no gather)."""
+    onehot = col == sel[:, None]
+    if values.ndim == 1:
+        values = values[None, :]
+    return jnp.sum(jnp.where(onehot, values, 0.0), axis=1)
+
+
+def _kernel(count_ref, origin_ref, feat_ref, gidx_ref,
+            color_ref, depth_ref, didx_ref, cidx_ref, dw_ref, cw_ref, T_ref,
+            *, n_chunks_static: int, opaque_threshold: float,
+            t_threshold: float):
+    t = pl.program_id(0)
+    # integer iota (Mosaic rejects float iota), then cast
+    ri = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)[:, 0]
+    px = jnp.mod(ri, TILE).astype(jnp.float32) + origin_ref[t, 0]
+    py = (ri // TILE).astype(jnp.float32) + origin_ref[t, 1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (NPIX, CHUNK), 1)
+
+    n_chunks = (count_ref[t] + CHUNK - 1) // CHUNK
+
+    # state lives in the output refs; chunks are a STATIC unrolled loop with
+    # per-chunk predication (Mosaic has no dynamic_slice on values, and
+    # pl.when gives the same early-exit effect as a while_loop).
+    # Output layouts put the 256-pixel axis last (the TPU lane dimension):
+    # trailing dims of size 1/3 would be lane-padded to 128 and blow VMEM.
+    color_ref[0, :, :] = jnp.zeros((3, NPIX), jnp.float32)
+    depth_ref[0, 0, :] = jnp.zeros((NPIX,), jnp.float32)
+    didx_ref[0, 0, :] = jnp.full((NPIX,), -1, jnp.int32)
+    cidx_ref[0, 0, :] = jnp.full((NPIX,), -1, jnp.int32)
+    dw_ref[0, 0, :] = jnp.zeros((NPIX,), jnp.float32)
+    cw_ref[0, 0, :] = jnp.zeros((NPIX,), jnp.float32)
+    T_ref[0, 0, :] = jnp.ones((NPIX,), jnp.float32)
+
+    for c in range(n_chunks_static):
+        @pl.when((c < n_chunks) & (jnp.max(T_ref[0, 0, :]) > t_threshold))
+        def _(c=c):
+            feat = feat_ref[0, c * CHUNK:(c + 1) * CHUNK, :]   # [C, 11]
+            gidx = gidx_ref[0, 0, c * CHUNK:(c + 1) * CHUNK]   # [C]
+            gidx_f = gidx.astype(jnp.float32)
+
+            mean_x = feat[:, 0]
+            mean_y = feat[:, 1]
+            con_a = feat[:, 2]
+            con_b = feat[:, 3]
+            con_c = feat[:, 4]
+            z = feat[:, 5]
+            rgb = feat[:, 6:9]
+            opa = feat[:, 9]
+            elig = feat[:, 10] > 0.5
+
+            dx = px[:, None] - mean_x[None, :]                 # [256, C]
+            dy = py[:, None] - mean_y[None, :]
+            power = (-0.5 * (con_a[None, :] * dx * dx
+                             + con_c[None, :] * dy * dy)
+                     - con_b[None, :] * dx * dy)
+            alpha = opa[None, :] * jnp.exp(jnp.minimum(power, 0.0))
+            alpha = jnp.where(power > 0, 0.0, alpha)
+            alpha = jnp.minimum(alpha, ALPHA_MAX)
+            alpha = jnp.where(alpha < ALPHA_EPS, 0.0, alpha)
+
+            T = T_ref[0, 0, :]
+            cum = _prefix_prod(1.0 - alpha)                    # inclusive
+            cum_shift = jnp.concatenate(
+                [jnp.ones((NPIX, 1), jnp.float32),
+                 jax.lax.slice_in_dim(cum, 0, CHUNK - 1, axis=1)], axis=1)
+            T_in = T[:, None] * cum_shift
+            w = alpha * T_in
+
+            contrib = jnp.dot(w, rgb, preferred_element_type=jnp.float32)
+            color_ref[0, :, :] = (color_ref[0, :, :]
+                                  + jnp.swapaxes(contrib, 0, 1))
+
+            opaque = elig[None, :] & (alpha >= opaque_threshold)
+            has_hit = jnp.any(opaque, axis=1)
+            # "first True" via min-index reduction: Mosaic argmax breaks
+            # ties differently from XLA (last vs first max)
+            col_f = col.astype(jnp.float32)
+            first = jnp.min(jnp.where(opaque, col_f, 1e9), axis=1).astype(jnp.int32)
+            didx = didx_ref[0, 0, :]
+            new_hit = has_hit & (didx < 0)
+            depth_ref[0, 0, :] = jnp.where(
+                new_hit, _pick(z, col, first), depth_ref[0, 0, :])
+            didx_ref[0, 0, :] = jnp.where(
+                new_hit, _pick(gidx_f, col, first).astype(jnp.int32), didx)
+            dw_ref[0, 0, :] = jnp.where(
+                new_hit, _pick(w, col, first), dw_ref[0, 0, :])
+
+            best_w = jnp.max(w, axis=1)
+            best = jnp.min(jnp.where(w == best_w[:, None], col_f, 1e9),
+                           axis=1).astype(jnp.int32)
+            better = best_w > cw_ref[0, 0, :]
+            cw_ref[0, 0, :] = jnp.where(better, best_w, cw_ref[0, 0, :])
+            cidx_ref[0, 0, :] = jnp.where(
+                better, _pick(gidx_f, col, best).astype(jnp.int32),
+                cidx_ref[0, 0, :])
+
+            # static slice: jnp's [:, -1] getitem lowers via
+            # dynamic_slice, which Mosaic doesn't implement
+            last = jax.lax.slice_in_dim(cum, CHUNK - 1, CHUNK, axis=1)
+            T_ref[0, 0, :] = T * last[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("opaque_threshold", "t_threshold",
+                                             "interpret"))
+def blend_tiles_pallas(
+    tile_feat: jnp.ndarray,    # [T, Kt, 11] pre-gathered, depth-ordered
+    tile_gidx: jnp.ndarray,    # [T, Kt] int32 original indices (-1 sentinel)
+    tile_counts: jnp.ndarray,  # [T] int32
+    origins: jnp.ndarray,      # [T, 2] float32
+    opaque_threshold: float,
+    t_threshold: float = 1e-4,
+    interpret: bool = False,
+) -> TileOutputs:
+    T_tiles, Kt, F = tile_feat.shape
+    assert Kt % CHUNK == 0, "tile_capacity must be a multiple of 128"
+
+    kernel = functools.partial(
+        _kernel, n_chunks_static=Kt // CHUNK,
+        opaque_threshold=float(opaque_threshold),
+        t_threshold=float(t_threshold))
+
+    def imap(t, c_ref, o_ref):
+        return (t, 0, 0)
+
+    def imap2(t, c_ref, o_ref):
+        return (t, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, Kt, F), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Kt), imap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, NPIX), imap, memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((1, 1, NPIX), imap, memory_space=pltpu.VMEM)] * 6,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T_tiles, 3, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((T_tiles, 1, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((T_tiles, 1, NPIX), jnp.int32),
+            jax.ShapeDtypeStruct((T_tiles, 1, NPIX), jnp.int32),
+            jax.ShapeDtypeStruct((T_tiles, 1, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((T_tiles, 1, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((T_tiles, 1, NPIX), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(tile_counts, origins, tile_feat, tile_gidx[:, None, :])
+
+    color, depth, didx, cidx, dw, cw, Tf = outs
+    return TileOutputs(
+        color=jnp.swapaxes(color, 1, 2), depth=depth[:, 0], depth_index=didx[:, 0],
+        color_index=cidx[:, 0], depth_weight=dw[:, 0],
+        color_weight=cw[:, 0], T_final=Tf[:, 0],
+    )
