@@ -49,18 +49,20 @@ class SLAM:
         self._mapper_caught_up = threading.Condition()
         self._last_mapped_frame = -1
         self._errors: list = []
+        self._track_settings = None
 
     # ------------------------------------------------------------------
     def _tracking_loop(self):
         try:
             infos = self.dataset.scene_info.train_cameras
             from ..config import DatasetParams
+            from ..data.loader import FrameLoader
 
             dataset_params = DatasetParams().extract(self.args)
             min_frame_time = 1.0 / self.tracker_max_fps
-            for frame_id, info in enumerate(infos):
+            loader = FrameLoader(dataset_params, infos, prefetch=4)
+            for frame_id, frame in enumerate(loader):
                 start = time.time()
-                frame = load_camera(dataset_params, frame_id, info)
                 frame_map = self.tracker.map_preprocess(frame, frame_id)
                 self.tracker.tracking(frame, frame_map)
                 self.recorder.update_mean("tracking", time.time() - start, 1)
@@ -78,15 +80,23 @@ class SLAM:
                         while frame_id - self._last_mapped_frame > self.sync_frames:
                             self._mapper_caught_up.wait(timeout=30.0)
 
-                # consume the mapper's latest model snapshot for
-                # frame-to-model ICP (reference tracker.py:522-538)
+                # consume the mapper's latest map snapshot and re-render it
+                # at the TRACKER's current pose for frame-to-model ICP
+                # (reference update_last_mapper_render, tracker.py:522-538)
                 snapshot = None
                 while not self._m2t.empty():
                     snapshot = self._m2t.get_nowait()
                 if snapshot is not None:
+                    from ..ops.rasterize import RasterSettings, render
+
+                    if self._track_settings is None:
+                        self._track_settings = RasterSettings.from_args(
+                            self.args, frame.image_height, frame.image_width)
+                    out = render(snapshot["gauss"], frame.device_dict(),
+                                 self._track_settings)
                     self.tracker.update_last_status(
-                        frame, snapshot["render_depth"], frame_map["depth_map"],
-                        snapshot["render_normal"], frame_map["normal_map_w"])
+                        frame, out["depth"], frame_map["depth_map"],
+                        out["normal"], frame_map["normal_map_w"])
 
                 elapsed = time.time() - start
                 if elapsed < min_frame_time:
@@ -107,12 +117,16 @@ class SLAM:
                 self.mapper.update_poses(new_poses)
                 self.mapper.mapping(frame, frame_map, frame_id,
                                     self.optimization_params)
-                out = self.mapper.get_render_output(frame)
                 self.mapper.time += 1
                 self.recorder.update_mean("mapping", time.time() - start, 1)
+                # publish a detached map snapshot (device arrays are shared
+                # zero-copy across threads — the reference ships tensors
+                # through mp queues instead, mapper.py:1211-1220)
+                from ..models.gaussian_map import alive_mask, render_inputs
+
                 self._m2t.put({
-                    "render_depth": out["depth"],
-                    "render_normal": out["normal"],
+                    "gauss": render_inputs(self.mapper.state,
+                                           alive_mask(self.mapper.state)),
                     "frame_id": frame_id,
                 })
                 with self._mapper_caught_up:

@@ -46,8 +46,10 @@ def main():
     tracker = Tracker(args)
 
     frame_infos = dataset.scene_info.train_cameras
-    for frame_id, info in enumerate(frame_infos):
-        frame = load_camera(dataset_params, frame_id, info)
+    from rtgslam_tpu.data.loader import FrameLoader
+
+    loader = FrameLoader(dataset_params, frame_infos, prefetch=4)
+    for frame_id, frame in enumerate(loader):
         print(f"========== curr frame is: {frame_id} ==========")
 
         start = time.time()
