@@ -39,6 +39,15 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1.0 - x))
 
 
+@jax.jit
+def high_water_mark(state: MapState) -> jnp.ndarray:
+    """1 + the highest occupied slot index (0 when empty).  Inserts fill the
+    lowest free slots, so alive rows always live below this mark."""
+    alive = state.status != FREE
+    idx = jax.lax.broadcasted_iota(jnp.int32, alive.shape + (1,), 0)[:, 0]
+    return jnp.max(jnp.where(alive, idx + 1, 0))
+
+
 # ---------------------------------------------------------------------------
 # pixel sampling
 # ---------------------------------------------------------------------------
@@ -85,13 +94,24 @@ def gather_temp_points(
 # spawn pipeline
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def temp_filter_dedup(temp: TempPoints, state: MapState) -> TempPoints:
+@partial(jax.jit, static_argnames=("ref_limit",))
+def temp_filter_dedup(temp: TempPoints, state: MapState,
+                      ref_limit: int | None = None) -> TempPoints:
     """Drop temp points inside an existing unstable gaussian's 0.6-radius
-    3-NN neighbourhood (``temp_points_filter``, mapper.py:797-826)."""
-    unstable = state.status == UNSTABLE
-    d2, idx = knn_ops.knn(temp.xyz, state.xyz, unstable, k=3)
-    radius = gaussian_radius(state.scaling)
+    3-NN neighbourhood (``temp_points_filter``, mapper.py:797-826).
+
+    ``ref_limit`` bounds the KNN reference scan to the map's occupied slot
+    prefix (inserts always fill the lowest free slots, so alive rows live in
+    ``[0, high_water_mark)``) — the dominant per-frame KNN cost then scales
+    with the actual map size, not the capacity.
+    """
+    lim = ref_limit or state.capacity
+    xyz = state.xyz[:lim]
+    status = state.status[:lim]
+    scaling = state.scaling[:lim]
+    unstable = status == UNSTABLE
+    d2, idx = knn_ops.knn(temp.xyz, xyz, unstable, k=3)
+    radius = gaussian_radius(scaling)
     corr = jnp.where(idx >= 0, radius[jnp.clip(idx, 0)] * 0.6, 0.0)
     inside = jnp.any(jnp.sqrt(jnp.where(jnp.isinf(d2), jnp.inf, d2)) < corr, axis=-1)
     has_unstable = jnp.any(unstable)
@@ -130,20 +150,24 @@ def temp_attach_to_stable(
     return temp._replace(opacity=new_opa)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "ref_limit"))
 def temp_scale_init(temp: TempPoints, state: MapState,
-                    config: GaussianMapConfig) -> Tuple[TempPoints, jnp.ndarray]:
+                    config: GaussianMapConfig,
+                    ref_limit: int | None = None) -> Tuple[TempPoints, jnp.ndarray]:
     """3-NN based scale initialization + crowding rejection
     (``update_geometry``, gaussian_pointcloud.py:366-405; the CUDA
     ``distCUDA2`` fork becomes :func:`rtgslam_tpu.ops.knn.knn`).
 
-    Returns (filtered temp, log-scales [Kt, 3]).
+    Returns (filtered temp, log-scales [Kt, 3]).  ``ref_limit`` as in
+    :func:`temp_filter_dedup`.
     """
-    alive = state.status != FREE
-    ref_xyz = jnp.concatenate([temp.xyz, state.xyz], axis=0)
+    lim = ref_limit or state.capacity
+    alive = state.status[:lim] != FREE
+    ref_xyz = jnp.concatenate([temp.xyz, state.xyz[:lim]], axis=0)
     ref_valid = jnp.concatenate([temp.valid, alive], axis=0)
     temp_radius = jnp.zeros(temp.xyz.shape[0])  # fresh temp scales ~1e-6
-    ref_radius = jnp.concatenate([temp_radius, gaussian_radius(state.scaling)])
+    ref_radius = jnp.concatenate(
+        [temp_radius, gaussian_radius(state.scaling[:lim])])
 
     d2, idx = knn_ops.knn(temp.xyz, ref_xyz, ref_valid, k=4)
     d2, idx = d2[:, 1:], idx[:, 1:]  # drop self-match

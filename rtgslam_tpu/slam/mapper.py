@@ -210,7 +210,15 @@ class Mapper:
             idx_a, val_a, idx_b, val_b,
             self.config.init_opacity, self.max_spawn)
 
-        temp = map_ops.temp_filter_dedup(temp, self.state)
+        # bound the KNN reference scans to the occupied slot prefix,
+        # bucketed to powers of two so retraces stay rare
+        hwm = int(map_ops.high_water_mark(self.state))
+        ref_limit = 4096
+        while ref_limit < hwm:
+            ref_limit *= 2
+        ref_limit = min(ref_limit, self.config.capacity)
+
+        temp = map_ops.temp_filter_dedup(temp, self.state, ref_limit=ref_limit)
 
         if self.get_stable_num > 0:
             stable_out = self._render(frame.device_dict(), "stable")
@@ -220,7 +228,8 @@ class Mapper:
                 jnp.asarray(cam["w2c"]), jnp.asarray(cam["K"]),
                 self.H, self.W, self.add_depth_thres)
 
-        temp, log_scales = map_ops.temp_scale_init(temp, self.state, self.config)
+        temp, log_scales = map_ops.temp_scale_init(
+            temp, self.state, self.config, ref_limit=ref_limit)
         self.state, n_inserted = map_ops.insert_temp(
             self.state, temp, log_scales, self.time, self.config)
         if self.verbose:
@@ -313,7 +322,11 @@ class Mapper:
 
     def _stack_batch(self, entries) -> optimize.FrameBatch:
         """Stack (pad to memory_length) frame dicts into a FrameBatch."""
-        F = len(entries)
+        if self.dataset_type == "Scannetpp":
+            # ScanNet++ depth has large invalid regions: restrict the photo
+            # loss to observed pixels (reference loss_update, mapper.py:419-420)
+            for e in entries:
+                e["render_mask"] = e["render_mask"] & (e["depth"] > 0)
         pick = lambda k: jnp.stack([e[k] for e in entries])
         return optimize.FrameBatch(
             color=pick("color"), depth=pick("depth"), normal=pick("normal"),
