@@ -172,10 +172,6 @@ def blend_tiles(
     differentiable: bool = False,
 ) -> TileOutputs:
     """Blend every tile.  vmapped over tiles; chunked over each tile's list."""
-    Kt = tile_lists.shape[1]
-    chunk = min(CHUNK, Kt)
-    assert Kt % chunk == 0, "tile_capacity must be a power of two >= 64"
-    n_chunks = Kt // chunk
     # map sorted-space sentinel V -> original-index sentinel -1
     order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
 
@@ -184,6 +180,26 @@ def blend_tiles(
     # (Per-chunk random-row gathers inside the loop measured ~5x slower.)
     tile_feat = proj_sorted_feat[tile_lists]          # [T, Kt, 11]
     tile_gidx = order_pad[tile_lists]                 # [T, Kt]
+    return blend_tiles_pregathered(
+        tile_feat, tile_gidx, tile_counts, origins,
+        opaque_threshold, T_threshold, differentiable)
+
+
+@partial(jax.jit, static_argnames=("differentiable",))
+def blend_tiles_pregathered(
+    tile_feat: jnp.ndarray,    # [T, Kt, 11] contiguous, depth-ordered
+    tile_gidx: jnp.ndarray,    # [T, Kt] int32 original indices (-1 sentinel)
+    tile_counts: jnp.ndarray,  # [T]
+    origins: jnp.ndarray,      # [T, 2]
+    opaque_threshold: float,
+    T_threshold: float = 1e-4,
+    differentiable: bool = False,
+) -> TileOutputs:
+    """Blend from pre-gathered per-tile blocks (shardable over tiles)."""
+    Kt = tile_feat.shape[1]
+    chunk = min(CHUNK, Kt)
+    assert Kt % chunk == 0, "tile_capacity must be a power of two >= 64"
+    n_chunks = Kt // chunk
 
     def run_tile(tfeat, tgidx, count, origin):
         pix = _tile_pixels(origin)
