@@ -10,13 +10,19 @@ north star of 30 FPS online tracking+mapping (BASELINE.md).  The scene is
 procedural (no datasets ship in this environment) at a Replica-like aspect;
 resolution/frames are tunable via env:
 
-  BENCH_H/BENCH_W   frame size     (default 340 x 600: half Replica)
-  BENCH_FRAMES      frames         (default 60)
+  BENCH_H/BENCH_W   frame size     (default 170 x 300: quarter Replica —
+                    the tunneled TPU worker in this environment crashes on
+                    larger frames; raise on real hardware)
+  BENCH_FRAMES      frames         (default 40)
   BENCH_WARMUP      frames excluded from timing (default 12, covers jit)
+
+The measurement runs in a subprocess and retries after TPU-worker crashes
+(the axon tunnel restarts its worker sporadically).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,9 +33,9 @@ import numpy as np
 
 
 def main():
-    H = int(os.environ.get("BENCH_H", 340))
-    W = int(os.environ.get("BENCH_W", 600))
-    n_frames = int(os.environ.get("BENCH_FRAMES", 60))
+    H = int(os.environ.get("BENCH_H", 170))
+    W = int(os.environ.get("BENCH_W", 300))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 40))
     warmup = int(os.environ.get("BENCH_WARMUP", 12))
 
     from rtgslam_tpu.config import read_config, OptimizationParams
@@ -102,5 +108,33 @@ def main():
     print(json.dumps(result))
 
 
+def main_with_retries(attempts: int = 3, cooldown_s: int = 240) -> int:
+    """Run the measurement in a child process; retry after worker crashes."""
+    for attempt in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True, text=True)
+        out = proc.stdout.strip().splitlines()
+        json_lines = [l for l in out if l.startswith("{")]
+        if proc.returncode == 0 and json_lines:
+            print(json_lines[-1])
+            return 0
+        sys.stderr.write(
+            f"[bench] attempt {attempt + 1} failed "
+            f"(rc={proc.returncode}); tail:\n"
+            + "\n".join((proc.stderr or "").splitlines()[-4:]) + "\n")
+        if attempt + 1 < attempts:
+            time.sleep(cooldown_s)  # let the TPU worker restart
+    print(json.dumps({
+        "metric": "synthetic_room_online_mapping_fps",
+        "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+        "detail": {"error": "TPU worker unavailable after retries"},
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(main_with_retries())

@@ -41,8 +41,11 @@ class RoomScene:
         (np.array([0.6, 1.2, 0.7]), 0.35, np.array([0.45, 0.60, 0.85])),
         (np.array([2.2, 2.4, 3.1]), 0.30, np.array([0.70, 0.80, 0.45])),
         (np.array([1.7, 0.5, 2.2]), 0.25, np.array([0.90, 0.65, 0.35])),
-        (np.array([2.6, 1.6, 2.0]), 0.22, np.array([0.35, 0.55, 0.75])),
-        (np.array([0.9, 1.8, 1.9]), 0.26, np.array([0.65, 0.45, 0.55])),
+        # NOTE: keep the camera orbit volume (room centre +-0.5m, y 1.3-1.9)
+        # clear of geometry — a grazing pass puts gt depth below min_depth,
+        # which no RGBD pipeline can map and which poisons depth-L1 eval
+        (np.array([3.2, 2.0, 2.6]), 0.22, np.array([0.35, 0.55, 0.75])),
+        (np.array([0.8, 2.4, 1.2]), 0.26, np.array([0.65, 0.45, 0.55])),
     )
     # axis-aligned "furniture" boxes (lo, hi, base rgb): wall-to-wall depth
     # relief so point-to-plane ICP is observable from every viewpoint

@@ -108,12 +108,21 @@ def residuals_jacobian(vertex0, vertex1, normal0, normal1, pose10, K,
     return res, J, valid
 
 
-def _gn_update(res, J, pose10, damping):
-    """One damped Gauss-Newton step: (JᵀJ + λ tr diag) ξ = -Jᵀr, pose ← exp(ξ)·pose."""
+def _gn_update(res, J, pose10, damping, huber_delta: float = 0.02):
+    """One damped Gauss-Newton step: (JᵀJ + λ tr diag) ξ = -Jᵀr, pose ← exp(ξ)·pose.
+
+    Residuals are Huber-weighted (w = min(1, δ/|r|)): point-to-plane
+    residuals at association/occlusion boundaries are heavy-tailed, and an
+    unweighted solve occasionally snaps into a wrong minimum when the view
+    content shifts (the reference's plain GN, icp.py:106-129, has the same
+    failure mode — this is a robustness improvement, δ=2 cm).
+    """
     Jf = J.reshape(-1, 6)
     rf = res.reshape(-1)
-    JtJ = Jf.T @ Jf                      # 6x6 via MXU-friendly matmul
-    JtR = Jf.T @ rf
+    w = jnp.minimum(1.0, huber_delta / jnp.maximum(jnp.abs(rf), 1e-12))
+    Jw = Jf * w[:, None]
+    JtJ = Jw.T @ Jf                      # 6x6 via MXU-friendly matmul
+    JtR = Jw.T @ rf
     eye = jnp.eye(6, dtype=JtJ.dtype)
     H = JtJ + (jnp.trace(JtJ) * damping) * eye
     xi = -jnp.linalg.solve(H, JtR)
@@ -255,9 +264,26 @@ class IcpTracker:
             self.vertex_t1[-1] @ pose10[:3, :3].T + pose10[:3, 3],
             self.normal_t0[-1])
         success = bool(p2p <= self.fail_threshold)
-        self.last_rel = (np.asarray(pose10, np.float32) if success
+        pose_np = np.asarray(pose10, np.float32)
+        if not success and self.use_motion_model:
+            # The residual metric is unmasked (reference icp.py:444-447) and
+            # inflates near depth holes, so treat it as a *suspicion* signal:
+            # accept the solve if it stayed near the constant-velocity
+            # prediction (the metric was just noisy), otherwise coast on the
+            # prediction (the reference keeps diverged poses, which offsets
+            # the whole remaining trajectory).
+            delta = np.linalg.norm(pose_np[:3, 3] - self.last_rel[:3, 3])
+            cosang = np.clip(
+                (np.trace(pose_np[:3, :3].T @ self.last_rel[:3, :3]) - 1) / 2,
+                -1, 1)
+            ang = np.degrees(np.arccos(cosang))
+            if delta > 0.01 or ang > 1.0:
+                return np.asarray(self.last_rel), False
+            self.last_rel = pose_np
+            return pose_np, False
+        self.last_rel = (pose_np if success
                          else np.eye(4, dtype=np.float32))
-        return np.asarray(pose10), success
+        return pose_np, success
 
 
 @jax.jit

@@ -24,7 +24,7 @@ from typing import Optional
 import numpy as np
 
 from ..config.loader import GroupParams
-from ..data import Dataset, load_camera
+from ..data import Dataset
 from ..utils.monitor import Recorder
 from .mapper import Mapper
 from .tracker import Tracker
