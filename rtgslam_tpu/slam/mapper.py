@@ -395,7 +395,7 @@ class Mapper:
                                    "scaling", "rotation")})
             lrs["xyz"] = jnp.float32(0.0)
             depth_weight = None
-            sample_ratio = 0.4
+            sample_ratio = float(getattr(self.args, "global_opt_top_ratio", 0.4))
         select_keyframe_num = min(select_keyframe_num, len(self.keyframe_list))
 
         history = map_ops.capture_history(self.state)
