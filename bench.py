@@ -57,6 +57,15 @@ def main():
     args.max_depth = 8.0
     args.save_step = 10 ** 9
     args.save_path = "/tmp/bench_run"
+    # static capacities sized to the benchmark workload: every projection /
+    # KNN / binning pass scales with these, and the defaults provision for
+    # full-Replica runs (~20x this pixel count)
+    scale = (H * W) / (680 * 1200)
+    args.map_capacity = max(16384, 1 << int(np.ceil(np.log2(400_000 * scale))))
+    args.temp_capacity = max(4096, 1 << int(np.ceil(np.log2(65_000 * scale))))
+    args.block_capacity = 2048
+    args.tile_capacity = 512
+    args.max_visible = args.map_capacity // 2
     opt = OptimizationParams().extract(args)
 
     cams = make_cameras(n_frames=n_frames, H=H, W=W)

@@ -152,6 +152,40 @@ def icp_level(pose10, vertex0, vertex1, normal0, normal1, K,
     return pose10, valid_ratio
 
 
+@partial(jax.jit, static_argnames=("iters", "association"))
+def icp_solve_all_levels(pose10, vertex1_pyr, vertex0_pyr, normal1_pyr,
+                         normal0_pyr, K, downscales, iters,
+                         damping: float, distance_threshold: float,
+                         normal_threshold: float, association: str):
+    """All pyramid levels + the failure metric in ONE executable.
+
+    Each dispatch to the device costs a tunnel round trip in this
+    environment (and real-hardware launch overhead), so the coarse-to-fine
+    sweep (reference icp.py:429-441, one Python loop per level) is unrolled
+    statically inside a single jit.  Returns (pose10, p2p_loss).
+    """
+    with jax.default_matmul_precision("highest"):
+        for level, n_iter in enumerate(iters):
+            Ks = K * downscales[level]
+            Ks = Ks.at[2, 2].set(1.0)
+            v1, v0 = vertex1_pyr[level], vertex0_pyr[level]
+            n1, n0 = normal1_pyr[level], normal0_pyr[level]
+
+            def body(_, pose, v1=v1, v0=v0, n1=n1, n0=n0, Ks=Ks):
+                res, J, _ = residuals_jacobian(
+                    v1, v0, n1, n0, pose, Ks,
+                    distance_threshold, normal_threshold, association)
+                return _gn_update(res, J, pose, damping)
+
+            pose10 = jax.lax.fori_loop(0, n_iter, body, pose10)
+
+        p2p = point2plane_loss.__wrapped__(
+            vertex0_pyr[-1],
+            vertex1_pyr[-1] @ pose10[:3, :3].T + pose10[:3, 3],
+            normal0_pyr[-1])
+    return pose10, p2p
+
+
 @jax.jit
 def point2plane_loss(p_t0, p_t1, n_t0):
     """Mean squared point-to-plane distance (icp.py:7-13)."""
@@ -246,23 +280,12 @@ class IcpTracker:
 
         pose10 = (jnp.asarray(self.last_rel) if self.use_motion_model
                   else jnp.eye(4, dtype=jnp.float32))
-        valid_ratio = None
-        for level in range(self.levels):
-            scale = self.downscales[level]
-            Ks = self.K * scale
-            Ks = Ks.at[2, 2].set(1.0)
-            pose10, valid_ratio = icp_level(
-                pose10,
-                self.vertex_t1[level], self.vertex_t0[level],
-                self.normal_t1[level], self.normal_t0[level],
-                Ks, self.iters[level], self.damping,
-                self.distance_threshold, self.normal_threshold,
-                self.association)
-
-        p2p = point2plane_loss(
-            self.vertex_t0[-1],
-            self.vertex_t1[-1] @ pose10[:3, :3].T + pose10[:3, 3],
-            self.normal_t0[-1])
+        pose10, p2p = icp_solve_all_levels(
+            pose10, tuple(self.vertex_t1), tuple(self.vertex_t0),
+            tuple(self.normal_t1), tuple(self.normal_t0),
+            self.K, jnp.asarray(self.downscales, jnp.float32),
+            tuple(self.iters), self.damping,
+            self.distance_threshold, self.normal_threshold, self.association)
         success = bool(p2p <= self.fail_threshold)
         pose_np = np.asarray(pose10, np.float32)
         if not success and self.use_motion_model:
