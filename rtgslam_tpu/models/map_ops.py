@@ -376,6 +376,81 @@ def history_merge(state: MapState, hist: Dict[str, jnp.ndarray],
     )
 
 
+# ---------------------------------------------------------------------------
+# fused per-frame composites (fewer dispatches: each device call costs a
+# full round trip in this environment and launch overhead on real hardware)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("config", "max_each", "height", "width",
+                                   "first_frame", "has_stable", "ref_limit"))
+def spawn_step(
+    key, state: MapState,
+    vertex_w, normal_w, color, depth,             # frame maps [H, W, *]
+    model_T, model_depth, model_color, model_depth_index,  # model render
+    stable_color_index,                            # [H, W] (ignored unless has_stable)
+    w2c, K, time,
+    uniform_sample_num, transmission_sample_ratio, error_sample_ratio,
+    add_transmission_thres, add_depth_thres, add_color_thres,
+    config: GaussianMapConfig, max_each: int, height: int, width: int,
+    first_frame: bool, has_stable: bool, ref_limit: int,
+):
+    """The whole ``gaussians_add`` chain (sample -> gather -> dedup ->
+    attach -> scale-init -> insert) as ONE executable
+    (reference mapper.py:128-132,715-896)."""
+    k1, k2 = jax.random.split(key)
+    d = depth[..., 0] if depth.ndim == 3 else depth
+    if first_frame:
+        idx_a, val_a = sample_masked_pixels(k1, d > 0, uniform_sample_num, max_each)
+        idx_b = jnp.zeros((max_each,), jnp.int32)
+        val_b = jnp.zeros((max_each,), bool)
+    else:
+        T = model_T[..., 0]
+        trans_mask = (T > add_transmission_thres) & (d > 0)
+        trans_num = (transmission_sample_ratio
+                     * (jnp.sum(trans_mask) / d.size)
+                     * uniform_sample_num).astype(jnp.int32)
+        idx_a, val_a = sample_masked_pixels(k1, trans_mask, trans_num, max_each)
+
+        depth_err = jnp.abs(d - model_depth[..., 0])
+        color_err = jnp.mean(jnp.abs(color - model_color), axis=-1)
+        depth_mask = ((depth_err > add_depth_thres) & (d > 0)
+                      & (model_depth_index > -1))
+        color_mask = ((color_err > add_color_thres) & (d > 0)
+                      & (T < add_transmission_thres))
+        err_mask = (depth_mask | color_mask) & ~trans_mask
+        err_num = (jnp.sum(err_mask) * error_sample_ratio).astype(jnp.int32)
+        idx_b, val_b = sample_masked_pixels(k2, err_mask, err_num, max_each)
+
+    temp = gather_temp_points(vertex_w, normal_w, color, idx_a, val_a,
+                              idx_b, val_b, config.init_opacity, max_each)
+    temp = temp_filter_dedup(temp, state, ref_limit=ref_limit)
+    if has_stable:
+        temp = temp_attach_to_stable(temp, state, stable_color_index,
+                                     w2c, K, height, width, add_depth_thres)
+    temp, log_scales = temp_scale_init(temp, state, config, ref_limit=ref_limit)
+    return insert_temp(state, temp, log_scales, time, config)
+
+
+@partial(jax.jit, static_argnames=("num_gaussians",))
+def lifecycle_step(
+    state: MapState,
+    render_color, render_depth, render_normal, depth_index, color_index,
+    gt_color, gt_depth,
+    stable_confidence_thres, add_color_thres, add_depth_thres,
+    time, unstable_time_window, num_gaussians: int,
+):
+    """Post-optimize lifecycle (fix -> error strikes -> unstable delete) as
+    ONE executable (reference mapper.py:123-126)."""
+    state = fix_confident(state, stable_confidence_thres)
+    # error_update's strikes/deletes are masked to stable rows, so it is a
+    # no-op when the stable pool is empty (no host gate needed)
+    state = error_update(
+        state, render_color, render_depth, render_normal,
+        depth_index, color_index, gt_color, gt_depth,
+        add_color_thres, add_depth_thres, time, num_gaussians)
+    return delete_gaussians(state, time, unstable_time_window, unstable=True)
+
+
 def capture_history(state: MapState) -> Dict[str, jnp.ndarray]:
     """Snapshot the merge-relevant parameters before optimization
     (mapper.py:146-155)."""

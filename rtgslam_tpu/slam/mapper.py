@@ -175,40 +175,12 @@ class Mapper:
     # spawning
     # ------------------------------------------------------------------
     def gaussians_add(self, frame: Camera):
+        """Three-type spawning, fused into one device call
+        (reference mapper.py:128-132)."""
         fm = self.frame_map
-        depth = fm["depth_map"][..., 0]
-        if self.time == 0:
-            mask = depth > 0
-            idx_a, val_a = map_ops.sample_masked_pixels(
-                self._next_key(), mask, self.uniform_sample_num, self.max_spawn)
-            idx_b = jnp.zeros((self.max_spawn,), jnp.int32)
-            val_b = jnp.zeros((self.max_spawn,), bool)
-        else:
+        first_frame = self.time == 0
+        if not first_frame:
             self.get_render_output(frame)
-            T = self.model_map["render_transmission"][..., 0]
-            trans_mask = (T > self.add_transmission_thres) & (depth > 0)
-            trans_num = (self.transmission_sample_ratio
-                         * (jnp.sum(trans_mask) / depth.size)
-                         * self.uniform_sample_num).astype(jnp.int32)
-            idx_a, val_a = map_ops.sample_masked_pixels(
-                self._next_key(), trans_mask, trans_num, self.max_spawn)
-
-            depth_err = jnp.abs(depth - self.model_map["render_depth"][..., 0])
-            color_err = jnp.mean(
-                jnp.abs(fm["color_map"] - self.model_map["render_color"]), axis=-1)
-            depth_mask = ((depth_err > self.add_depth_thres) & (depth > 0)
-                          & (self.model_map["render_depth_index"] > -1))
-            color_mask = ((color_err > self.add_color_thres) & (depth > 0)
-                          & (T < self.add_transmission_thres))
-            err_mask = (depth_mask | color_mask) & ~trans_mask
-            err_num = (jnp.sum(err_mask) * self.error_sample_ratio).astype(jnp.int32)
-            idx_b, val_b = map_ops.sample_masked_pixels(
-                self._next_key(), err_mask, err_num, self.max_spawn)
-
-        temp = map_ops.gather_temp_points(
-            fm["vertex_map_w"], fm["normal_map_w"], fm["color_map"],
-            idx_a, val_a, idx_b, val_b,
-            self.config.init_opacity, self.max_spawn)
 
         # bound the KNN reference scans to the occupied slot prefix,
         # bucketed to powers of two so retraces stay rare
@@ -218,20 +190,31 @@ class Mapper:
             ref_limit *= 2
         ref_limit = min(ref_limit, self.config.capacity)
 
-        temp = map_ops.temp_filter_dedup(temp, self.state, ref_limit=ref_limit)
-
-        if self.get_stable_num > 0:
+        has_stable = self.get_stable_num > 0
+        if has_stable:
             stable_out = self._render(frame.device_dict(), "stable")
-            cam = frame.device_dict()
-            temp = map_ops.temp_attach_to_stable(
-                temp, self.state, stable_out["color_index_map"],
-                jnp.asarray(cam["w2c"]), jnp.asarray(cam["K"]),
-                self.H, self.W, self.add_depth_thres)
+            stable_cidx = stable_out["color_index_map"]
+        else:
+            stable_cidx = jnp.full((self.H, self.W), -1, jnp.int32)
 
-        temp, log_scales = map_ops.temp_scale_init(
-            temp, self.state, self.config, ref_limit=ref_limit)
-        self.state, n_inserted = map_ops.insert_temp(
-            self.state, temp, log_scales, self.time, self.config)
+        cam = frame.device_dict()
+        zero_hw1 = jnp.zeros((self.H, self.W, 1))
+        mm = self.model_map if not first_frame else {}
+        self.state, n_inserted = map_ops.spawn_step(
+            self._next_key(), self.state,
+            fm["vertex_map_w"], fm["normal_map_w"], fm["color_map"],
+            fm["depth_map"],
+            mm.get("render_transmission", zero_hw1),
+            mm.get("render_depth", zero_hw1),
+            mm.get("render_color", jnp.zeros((self.H, self.W, 3))),
+            mm.get("render_depth_index", jnp.full((self.H, self.W), -1, jnp.int32)),
+            stable_cidx,
+            jnp.asarray(cam["w2c"]), jnp.asarray(cam["K"]), self.time,
+            self.uniform_sample_num, self.transmission_sample_ratio,
+            self.error_sample_ratio, self.add_transmission_thres,
+            self.add_depth_thres, self.add_color_thres,
+            self.config, self.max_spawn, self.H, self.W,
+            first_frame, has_stable, ref_limit)
         if self.verbose:
             print(f"add new gaussian num: {int(n_inserted)}")
 
@@ -453,12 +436,14 @@ class Mapper:
     # ------------------------------------------------------------------
     # error-driven self-healing
     # ------------------------------------------------------------------
-    def error_gaussians_remove(self, stable_num: Optional[int] = None):
+    def lifecycle(self):
+        """fix -> error strikes -> unstable delete, fused into one device
+        call over one render of the latest frame (mapper.py:123-126,510-591)."""
         if not self.processed_frames:
-            return
-        if stable_num is None:
-            stable_num = self.get_stable_num
-        if stable_num <= 0:
+            self.state = map_ops.fix_confident(
+                self.state, self.stable_confidence_thres)
+            self.state = map_ops.delete_gaussians(
+                self.state, self.time, self.unstable_time_window, unstable=True)
             return
         rec = self.processed_frames[-1]
         out = self._render(rec["cam_dev"], "global")
@@ -467,13 +452,14 @@ class Mapper:
         self._cached_render = out
         self._cached_render_key = (self.time, rec["camera"].uid)
         fm = rec["frame_map"]
-        self.state = map_ops.error_update(
+        self.state = map_ops.lifecycle_step(
             self.state,
             out["render"], out["depth"], out["normal"],
             out["depth_index_map"], out["color_index_map"],
             fm["color_map"], fm["depth_map"],
-            self.add_color_thres, self.add_depth_thres,
-            self.time, self.config.capacity)
+            self.stable_confidence_thres, self.add_color_thres,
+            self.add_depth_thres, self.time, self.unstable_time_window,
+            self.config.capacity)
 
     # ------------------------------------------------------------------
     # top-level per-frame entry
@@ -505,10 +491,7 @@ class Mapper:
                 self.state = map_ops.delete_gaussians(
                     self.state, self.time, self.unstable_time_window, unstable=False)
 
-        self.state = map_ops.fix_confident(self.state, self.stable_confidence_thres)
-        self.error_gaussians_remove(stable_num=self.get_stable_num)
-        self.state = map_ops.delete_gaussians(
-            self.state, self.time, self.unstable_time_window, unstable=True)
+        self.lifecycle()
 
     # ------------------------------------------------------------------
     # checkpoints
