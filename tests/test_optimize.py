@@ -1,0 +1,83 @@
+"""Fused optimize-loop behavior tests (CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rtgslam_tpu.models import map_ops, optimize
+from rtgslam_tpu.models.gaussian_map import (
+    MapState, alive_mask, unstable_mask, stable_mask, UNSTABLE, STABLE,
+)
+from rtgslam_tpu.parallel.sharded import _tiny_problem
+
+
+def _problem():
+    state, frames, settings = _tiny_problem(n_frames=2)
+    lrs = {k: jnp.float32(1e-3) for k in optimize.PARAM_KEYS}
+    hist = map_ops.capture_history(state)
+    hyper = {
+        "color_weight": jnp.float32(0.8),
+        "depth_weight": jnp.float32(1.0),
+        "normal_weight": jnp.float32(0.0),
+        "add_depth_thres": jnp.float32(0.1),
+        "hist_opacity": hist["opacity"],
+        "hist_scaling": hist["scaling"],
+        "hist_xyz": hist["xyz"],
+        "hist_rotation_raw": hist["rotation_raw"],
+    }
+    return state, frames, settings, lrs, hyper
+
+
+def test_loss_decreases_over_iterations():
+    state, frames, settings, lrs, hyper = _problem()
+    # the tiny problem's default gt color exactly matches the zero-SH render
+    # (0.5); give the optimizer real photometric work
+    frames = frames._replace(color=jnp.full_like(frames.color, 0.8))
+    lrs = dict(lrs, features_dc=jnp.float32(2e-2))
+    seq = jnp.zeros(30, jnp.int32)
+    _, report1 = optimize.run_optimize(
+        state, frames, seq, 1, alive_mask(state), unstable_mask(state),
+        lrs, hyper, settings)
+    _, report30 = optimize.run_optimize(
+        state, frames, seq, 30, alive_mask(state), unstable_mask(state),
+        lrs, hyper, settings)
+    assert float(report30["color"]) < float(report1["color"])
+
+
+def test_update_mask_freezes_rows():
+    state, frames, settings, lrs, hyper = _problem()
+    # promote half the alive rows to STABLE; only UNSTABLE rows may move
+    status = np.asarray(state.status)
+    alive_rows = np.nonzero(status == UNSTABLE)[0]
+    frozen = alive_rows[: len(alive_rows) // 2]
+    state = state.replace(status=state.status.at[frozen].set(STABLE))
+    seq = jnp.zeros(5, jnp.int32)
+    out, _ = optimize.run_optimize(
+        state, frames, seq, 5, alive_mask(state), unstable_mask(state),
+        lrs, hyper, settings)
+    dx = np.abs(np.asarray(out.xyz) - np.asarray(state.xyz)).sum(-1)
+    assert np.all(dx[frozen] == 0), "stable rows must not move in local opt"
+    moved = np.asarray(unstable_mask(state)) & (dx > 0)
+    assert moved.sum() > 0
+
+
+def test_confidence_grows_only_for_touched_rows():
+    state, frames, settings, lrs, hyper = _problem()
+    seq = jnp.zeros(5, jnp.int32)
+    out, _ = optimize.run_optimize(
+        state, frames, seq, 5, alive_mask(state), unstable_mask(state),
+        lrs, hyper, settings)
+    dc = np.asarray(out.confidence - state.confidence)[:, 0]
+    um = np.asarray(unstable_mask(state))
+    assert dc[um].max() == 5           # touched every iteration
+    assert np.all(dc[~um] == 0)
+
+
+def test_dynamic_iteration_count_no_retrace():
+    """n_iters is a traced bound: different counts reuse one executable."""
+    state, frames, settings, lrs, hyper = _problem()
+    seq = jnp.zeros(8, jnp.int32)
+    for n in (1, 3, 8):
+        out, _ = optimize.run_optimize(
+            state, frames, seq, n, alive_mask(state), unstable_mask(state),
+            lrs, hyper, settings)
+        assert np.isfinite(np.asarray(out.xyz)).all()
