@@ -63,8 +63,10 @@ def main():
     scale = (H * W) / (680 * 1200)
     args.map_capacity = max(16384, 1 << int(np.ceil(np.log2(400_000 * scale))))
     args.temp_capacity = max(4096, 1 << int(np.ceil(np.log2(65_000 * scale))))
-    args.block_capacity = 2048
-    args.tile_capacity = 512
+    # per-tile capacity must cover the densest tile; undersizing silently
+    # drops far gaussians (watch detail.bin_overflow — must stay 0)
+    args.block_capacity = 8192
+    args.tile_capacity = 2048
     args.max_visible = args.map_capacity // 2
     opt = OptimizationParams().extract(args)
 
@@ -112,6 +114,7 @@ def main():
             "psnr": round(float(metrics["psnr"]), 3),
             "depth_l1_cm": round(float(metrics["depth_l1_cm"]), 4),
             "gaussians": mapper.get_unstable_num + mapper.get_stable_num,
+            "bin_overflow": metrics.get("bin_overflow", 0),
         },
     }
     print(json.dumps(result))

@@ -61,6 +61,10 @@ def eval_picture(render_out: Dict, gt_color: np.ndarray, gt_depth: np.ndarray,
         "lpips": lpips(img.astype(np.float32), gt_c.astype(np.float32)),
         "depth_l1_cm": depth_l1,
         "valid_ratio": valid_ratio,
+        # dropped gaussian-tile entries: non-zero means the static binning
+        # capacities are undersized for this map/view (silently truncated
+        # far gaussians render as holes — raise tile_capacity)
+        "bin_overflow": int(render_out.get("overflow", 0)),
     }
 
     if save_path:

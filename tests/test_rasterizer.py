@@ -191,3 +191,21 @@ def test_render_empty_map():
     assert np.all(np.asarray(out["render"]) == 0)
     assert np.all(np.asarray(out["depth_index_map"]) == -1)
     assert np.all(np.asarray(out["T_map"]) == 1)
+
+
+def test_overflow_reported_when_capacity_undersized():
+    """Undersized per-tile capacity must be observable, not silent."""
+    g, cam, st = make_scene(P=128, n_alive=64, H=32, W=32)
+    # cluster every gaussian onto the same small screen region so each tile
+    # overlaps all 64 of them
+    xyz = np.asarray(g["xyz"]).copy()
+    xyz[:64] = [0.0, 0.0, 2.0] + 0.01 * np.random.default_rng(0).standard_normal((64, 3))
+    g = dict(g, xyz=jnp.asarray(xyz))
+    import dataclasses
+
+    small = dataclasses.replace(st, tile_capacity=32, block_capacity=64)
+    out_small = render(g, cam, small)
+    big = dataclasses.replace(st, tile_capacity=256, block_capacity=512)
+    out_big = render(g, cam, big)
+    assert int(out_small["overflow"]) > 0
+    assert int(out_big["overflow"]) == 0
