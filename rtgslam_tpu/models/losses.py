@@ -50,8 +50,12 @@ def ssim(img: jnp.ndarray, gt: jnp.ndarray, window_size: int = 11) -> jnp.ndarra
 
     def filt(x):
         x = x.transpose(2, 0, 1)[None]                  # [1,C,H,W]
+        # TPU convs default to bf16 passes; the sigma estimates are small
+        # differences of large filtered moments, so bf16 noise flips the
+        # denominator sign and SSIM escapes [−1, 1] (seen: mean 1.13)
         y = jax.lax.conv_general_dilated(
-            x, kernel, (1, 1), "SAME", feature_group_count=C)
+            x, kernel, (1, 1), "SAME", feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST)
         return y[0].transpose(1, 2, 0)
 
     mu1, mu2 = filt(img), filt(gt)
