@@ -21,6 +21,7 @@ from ..ops import segment as segment_ops
 from .gaussian_map import (
     FREE, STABLE, UNSTABLE, GaussianMapConfig, MapState,
     activated_opacity, gaussian_radius, derived_normal,
+    alive_mask, render_inputs, stable_mask,
 )
 
 
@@ -449,6 +450,97 @@ def lifecycle_step(
         depth_index, color_index, gt_color, gt_depth,
         add_color_thres, add_depth_thres, time, num_gaussians)
     return delete_gaussians(state, time, unstable_time_window, unstable=True)
+
+
+@jax.jit
+def map_counters(state: MapState):
+    """(high-water mark, stable count) in one dispatch — fetched lazily by
+    the host to size the next spawn without a blocking mid-frame sync."""
+    return high_water_mark(state), jnp.sum(state.status == STABLE)
+
+
+@partial(jax.jit, static_argnames=(
+    "config", "max_each", "height", "width", "first_frame", "has_stable",
+    "ref_limit", "settings"))
+def spawn_chain(
+    key, state: MapState,
+    vertex_w, normal_w, color, depth,             # frame maps [H, W, *]
+    w2c, K, campos, time,
+    uniform_sample_num, transmission_sample_ratio, error_sample_ratio,
+    add_transmission_thres, add_depth_thres, add_color_thres,
+    config: GaussianMapConfig, max_each: int, height: int, width: int,
+    first_frame: bool, has_stable: bool, ref_limit: int, settings,
+):
+    """``spawn_step`` plus the model/stable renders it consumes, as ONE
+    executable (reference mapper.py:715-896 renders the global map at :728
+    and the stable map at :849 as separate kernel launches).
+
+    Returns (state', n_inserted, model_render_out); the model render doubles
+    as this frame's ``model_map`` so the host never re-renders for it.
+    """
+    from ..ops.rasterize.api import _render_impl
+
+    zero_hw1 = jnp.zeros((height, width, 1))
+    if first_frame:
+        model_out = None
+        model_T, model_depth = zero_hw1, zero_hw1
+        model_color = jnp.zeros((height, width, 3))
+        model_didx = jnp.full((height, width), -1, jnp.int32)
+    else:
+        gauss = render_inputs(state, alive_mask(state))
+        model_out = _render_impl.__wrapped__(
+            gauss, w2c, K, campos, None, settings, False, False)
+        model_T, model_depth = model_out["T_map"], model_out["depth"]
+        model_color = model_out["render"]
+        model_didx = model_out["depth_index_map"]
+    if has_stable:
+        s_out = _render_impl.__wrapped__(
+            render_inputs(state, stable_mask(state)), w2c, K, campos, None,
+            settings, False, False)
+        stable_cidx = s_out["color_index_map"]
+    else:
+        stable_cidx = jnp.full((height, width), -1, jnp.int32)
+
+    state, n_inserted = spawn_step.__wrapped__(
+        key, state, vertex_w, normal_w, color, depth,
+        model_T, model_depth, model_color, model_didx, stable_cidx,
+        w2c, K, time,
+        uniform_sample_num, transmission_sample_ratio, error_sample_ratio,
+        add_transmission_thres, add_depth_thres, add_color_thres,
+        config, max_each, height, width, first_frame, has_stable, ref_limit)
+    return state, n_inserted, model_out
+
+
+@partial(jax.jit, static_argnames=("num_gaussians", "settings"))
+def lifecycle_chain(
+    state: MapState,
+    w2c, K, campos,
+    gt_color, gt_depth,
+    stable_confidence_thres, add_color_thres, add_depth_thres,
+    time, unstable_time_window, num_gaussians: int, settings,
+):
+    """``lifecycle_step`` plus the global render it scores against, plus the
+    occupancy counters the next frame's spawn needs — ONE executable.
+
+    Returns (state', render_out, high_water_mark, n_stable).  The counters
+    are computed on the POST-lifecycle state so the host can size the next
+    spawn's KNN scan bound and stable-render gate without a fresh dispatch
+    (it fetches these two scalars lazily, after the device has already
+    drained this frame's work).
+    """
+    from ..ops.rasterize.api import _render_impl
+
+    out = _render_impl.__wrapped__(
+        render_inputs(state, alive_mask(state)), w2c, K, campos, None,
+        settings, False, False)
+    state = lifecycle_step.__wrapped__(
+        state, out["render"], out["depth"], out["normal"],
+        out["depth_index_map"], out["color_index_map"],
+        gt_color, gt_depth,
+        stable_confidence_thres, add_color_thres, add_depth_thres,
+        time, unstable_time_window, num_gaussians)
+    n_stable = jnp.sum(state.status == STABLE)
+    return state, out, high_water_mark(state), n_stable
 
 
 def capture_history(state: MapState) -> Dict[str, jnp.ndarray]:

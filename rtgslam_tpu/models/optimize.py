@@ -172,3 +172,80 @@ def run_optimize(
         0, n_iters, body,
         (params, zeros, dict(zeros), state.confidence, init_report))
     return state.with_params(params).replace(confidence=confidence), report
+
+
+@partial(jax.jit, static_argnames=(
+    "settings", "mode", "sample_ratio", "mask_depth_positive", "max_weight"))
+def optimize_chain(
+    state: MapState,
+    colors, depths, normals, w2cs, Ks, camposes,   # stacked [F, ...]
+    frame_seq: jnp.ndarray,
+    n_iters,
+    lrs: Dict[str, jnp.ndarray],
+    weights: Dict[str, jnp.ndarray],   # color/depth/normal weights + add_depth_thres
+    settings: RasterSettings,
+    mode: str,                         # "local" | "global"
+    sample_ratio: float,               # >0: top-k color-error tiles (global)
+    mask_depth_positive: bool,
+    max_weight: float,                 # history-merge weight (local mode)
+):
+    """The COMPLETE local/global optimization pass as ONE executable.
+
+    Covers reference ``local_optimize`` (mapper.py:143-210) / the windowed
+    part of ``global_optimization`` (mapper.py:594-712): history snapshot,
+    the per-frame partial-render masks (``evaluate_render_range``,
+    mapper.py:471-508 — one inference render per memory frame), the
+    render->loss->grad->Adam loop, and the history EMA merge.  The host
+    previously issued 2 + 3*F separate dispatches for this; each one costs
+    a device round trip.
+    """
+    from ..ops import preprocess
+    from .map_ops import capture_history, history_merge
+    from .gaussian_map import alive_mask, render_inputs, stable_mask, unstable_mask
+
+    H, W = settings.height, settings.width
+    local = mode == "local"
+    render_alive = alive_mask(state) if local else stable_mask(state)
+    update_mask = unstable_mask(state) if local else stable_mask(state)
+    hist = capture_history(state)
+    hyper = dict(weights)
+    hyper.update(hist_opacity=hist["opacity"], hist_scaling=hist["scaling"],
+                 hist_xyz=hist["xyz"], hist_rotation_raw=hist["rotation_raw"])
+
+    mask_gauss = render_inputs(
+        state, unstable_mask(state) if local else stable_mask(state))
+
+    def make_masks(cam):
+        out = _render_impl.__wrapped__(
+            mask_gauss, cam["w2c"], cam["K"], cam["campos"], None,
+            settings, False, False)
+        T = out["T_map"][..., 0]
+        if local:
+            rmask = T != 1.0
+            tile = preprocess.transmission_to_tilemask(rmask, 16, 0.5)
+        elif sample_ratio > 0:
+            err = jnp.sum(jnp.abs(out["render"] - cam["gt_color"]), axis=-1)
+            err = jnp.where(jnp.sum(out["render"], axis=-1) == 0, 0.0, err)
+            tile = preprocess.colorerror_to_tilemask(err, 16, sample_ratio)
+            rmask = preprocess.tilemask_to_pixelmask(tile, H, W)
+        else:
+            rmask = T != 1.0
+            tile = jnp.ones(((H + 15) // 16, (W + 15) // 16), jnp.int32)
+        return rmask, tile
+
+    cams = {"w2c": w2cs, "K": Ks, "campos": camposes}
+    if not local and sample_ratio > 0:
+        cams["gt_color"] = colors
+    rmasks, tiles = jax.lax.map(make_masks, cams)
+    if mask_depth_positive:
+        rmasks = rmasks & (depths > 0)
+
+    frames = FrameBatch(color=colors, depth=depths, normal=normals,
+                        w2c=w2cs, K=Ks, campos=camposes,
+                        render_mask=rmasks, tile_mask=tiles)
+    state, report = run_optimize.__wrapped__(
+        state, frames, frame_seq, n_iters, render_alive, update_mask,
+        lrs, hyper, settings)
+    if local:
+        state = history_merge(state, hist, max_weight, unstable_mask(state))
+    return state, report

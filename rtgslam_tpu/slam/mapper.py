@@ -88,6 +88,10 @@ class Mapper:
         self.settings: Optional[RasterSettings] = None
         self.model_map: Dict[str, jnp.ndarray] = {}
         self.frame_map: Dict[str, jnp.ndarray] = {}
+        # occupancy counters computed ON DEVICE at the end of each frame's
+        # lifecycle and fetched lazily next frame (no fresh dispatch+sync)
+        self._hwm_dev = None
+        self._stable_dev = None
         self.key = jax.random.PRNGKey(2024)
         self.rng = np.random.default_rng(2024)
         self.max_spawn = self.config.temp_capacity // 2
@@ -174,47 +178,43 @@ class Mapper:
     # ------------------------------------------------------------------
     # spawning
     # ------------------------------------------------------------------
+    def _cached_hwm(self) -> int:
+        """High-water mark as of the end of the previous frame's lifecycle —
+        exact for this frame's spawn (nothing inserts in between)."""
+        return int(self._hwm_dev) if self._hwm_dev is not None else 0
+
+    def _cached_stable_num(self) -> int:
+        return int(self._stable_dev) if self._stable_dev is not None else 0
+
     def gaussians_add(self, frame: Camera):
-        """Three-type spawning, fused into one device call
-        (reference mapper.py:128-132)."""
+        """Three-type spawning INCLUDING its model/stable renders, one device
+        call (reference mapper.py:128-132,728,849)."""
         fm = self.frame_map
         first_frame = self.time == 0
-        if not first_frame:
-            self.get_render_output(frame)
 
         # bound the KNN reference scans to the occupied slot prefix,
         # bucketed to powers of two so retraces stay rare
-        hwm = int(map_ops.high_water_mark(self.state))
+        hwm = self._cached_hwm()
         ref_limit = 4096
         while ref_limit < hwm:
             ref_limit *= 2
         ref_limit = min(ref_limit, self.config.capacity)
-
-        has_stable = self.get_stable_num > 0
-        if has_stable:
-            stable_out = self._render(frame.device_dict(), "stable")
-            stable_cidx = stable_out["color_index_map"]
-        else:
-            stable_cidx = jnp.full((self.H, self.W), -1, jnp.int32)
+        has_stable = self._cached_stable_num() > 0
 
         cam = frame.device_dict()
-        zero_hw1 = jnp.zeros((self.H, self.W, 1))
-        mm = self.model_map if not first_frame else {}
-        self.state, n_inserted = map_ops.spawn_step(
+        self.state, n_inserted, model_out = map_ops.spawn_chain(
             self._next_key(), self.state,
             fm["vertex_map_w"], fm["normal_map_w"], fm["color_map"],
             fm["depth_map"],
-            mm.get("render_transmission", zero_hw1),
-            mm.get("render_depth", zero_hw1),
-            mm.get("render_color", jnp.zeros((self.H, self.W, 3))),
-            mm.get("render_depth_index", jnp.full((self.H, self.W), -1, jnp.int32)),
-            stable_cidx,
-            jnp.asarray(cam["w2c"]), jnp.asarray(cam["K"]), self.time,
+            jnp.asarray(cam["w2c"]), jnp.asarray(cam["K"]),
+            jnp.asarray(cam["campos"]), self.time,
             self.uniform_sample_num, self.transmission_sample_ratio,
             self.error_sample_ratio, self.add_transmission_thres,
             self.add_depth_thres, self.add_color_thres,
             self.config, self.max_spawn, self.H, self.W,
-            first_frame, has_stable, ref_limit)
+            first_frame, has_stable, ref_limit, self.settings)
+        if model_out is not None:
+            self._set_model_map(model_out)
         if self.verbose:
             print(f"add new gaussian num: {int(n_inserted)}")
 
@@ -222,25 +222,26 @@ class Mapper:
     # keyframes
     # ------------------------------------------------------------------
     def check_keyframe(self, frame: Camera, frame_id: int) -> bool:
-        """Rotation/translation-threshold keyframing (mapper.py:336-368)."""
+        """Rotation/translation-threshold keyframing (mapper.py:336-368).
+        The host-RAM map offload only happens for frames that actually
+        become keyframes (the check itself is pure host pose math)."""
+        is_first = self.time == 0
+        if not is_first:
+            prev = self.keyframe_list[-1]["frame"]
+            _, theta_diff = rot_compare(prev.R.T, frame.R.T)
+            _, l2_diff = trans_compare(prev.T, frame.T)
+            if theta_diff <= self.keyframe_theta_thes \
+                    and l2_diff <= self.keyframe_trans_thes:
+                return False
         fm = self.frame_map
         keymap = {
             "color_map": np.asarray(fm["color_map"]),
             "depth_map": np.asarray(fm["depth_map"]),
             "normal_map": np.asarray(fm["normal_map_w"]),
         }
-        if self.time == 0:
-            self.keyframe_list.append({"frame": frame.drop_images(), "map": keymap})
-            self.keyframe_ids.append(frame_id)
-            return False
-        prev = self.keyframe_list[-1]["frame"]
-        _, theta_diff = rot_compare(prev.R.T, frame.R.T)
-        _, l2_diff = trans_compare(prev.T, frame.T)
-        if theta_diff > self.keyframe_theta_thes or l2_diff > self.keyframe_trans_thes:
-            self.keyframe_list.append({"frame": frame.drop_images(), "map": keymap})
-            self.keyframe_ids.append(frame_id)
-            return True
-        return False
+        self.keyframe_list.append({"frame": frame.drop_images(), "map": keymap})
+        self.keyframe_ids.append(frame_id)
+        return not is_first
 
     def update_poses(self, new_poses) -> None:
         """Re-apply backend-refined historical poses (mapper.py:134-141)."""
@@ -317,11 +318,25 @@ class Mapper:
             render_mask=pick("render_mask"), tile_mask=pick("tile_mask"),
         )
 
+    def _weights(self, opt, depth_weight=None):
+        return {
+            "color_weight": jnp.float32(opt.color_weight),
+            "depth_weight": jnp.float32(
+                opt.depth_weight if depth_weight is None else depth_weight),
+            "normal_weight": jnp.float32(opt.normal_weight),
+            "add_depth_thres": jnp.float32(self.add_depth_thres),
+        }
+
+    @staticmethod
+    def _stack_entries(entries):
+        pick = lambda k: jnp.stack([e[k] for e in entries])
+        return (pick("color"), pick("depth"), pick("normal"),
+                pick("w2c"), pick("K"), pick("campos"))
+
     def local_optimize(self, frame: Camera, opt):
-        history = map_ops.capture_history(self.state)
+        """Whole local pass (masks + loop + history merge) = 1 dispatch."""
         entries = []
         for rec in self.processed_frames:
-            rmask, tile = self.evaluate_render_range(rec["cam_dev"], unstable=True)
             fm = rec["frame_map"]
             entries.append({
                 "color": fm["color_map"], "depth": fm["depth_map"][..., 0],
@@ -329,24 +344,21 @@ class Mapper:
                 "w2c": jnp.asarray(rec["cam_dev"]["w2c"]),
                 "K": jnp.asarray(rec["cam_dev"]["K"]),
                 "campos": jnp.asarray(rec["cam_dev"]["campos"]),
-                "render_mask": rmask, "tile_mask": tile,
             })
         n_actual = len(entries)
         while len(entries) < self.memory_length:
             entries.append(entries[-1])
-        batch = self._stack_batch(entries)
 
         n_iters = self.gaussian_update_iter
         seq = self.rng.integers(0, n_actual, size=n_iters)
         seq[n_iters // 2 + 1:] = n_actual - 1  # late iters focus the newest frame
-        self.state, report = optimize.run_optimize(
-            self.state, batch, jnp.asarray(seq, jnp.int32), n_iters,
-            alive_mask(self.state), unstable_mask(self.state),
-            self._lrs(opt), self._hyper(opt, history), self.settings)
-
-        self.state = map_ops.history_merge(
-            self.state, history, self.history_merge_max_weight,
-            unstable_mask(self.state))
+        self.state, report = optimize.optimize_chain(
+            self.state, *self._stack_entries(entries),
+            jnp.asarray(seq, jnp.int32), n_iters,
+            self._lrs(opt), self._weights(opt), self.settings,
+            mode="local", sample_ratio=-1.0,
+            mask_depth_positive=(self.dataset_type == "Scannetpp"),
+            max_weight=self.history_merge_max_weight)
         if self.tb_writer is not None:
             self.train_report(self.get_total_iter,
                               {k: float(v) for k, v in report.items()})
@@ -355,12 +367,14 @@ class Mapper:
     def global_optimization(self, opt, select_keyframe_num=-1, is_end=False):
         """Stable-map refinement over recent keyframes; final pass sweeps all
         keyframes with all gaussians fixed (mapper.py:594-712)."""
-        if select_keyframe_num == -1:
+        is_final = select_keyframe_num == -1
+        if is_final:
             self.state = map_ops.fix_all(self.state)
-        if self.get_stable_num == 0:
+            if self.get_stable_num == 0:     # exact count, once per run
+                return None
+        elif self._cached_stable_num() == 0:
             return None
 
-        is_final = select_keyframe_num == -1
         if is_final:
             lrs = self._lrs(opt, {
                 "xyz": -1,
@@ -381,8 +395,7 @@ class Mapper:
             sample_ratio = float(getattr(self.args, "global_opt_top_ratio", 0.4))
         select_keyframe_num = min(select_keyframe_num, len(self.keyframe_list))
 
-        history = map_ops.capture_history(self.state)
-        hyper = self._hyper(opt, history, depth_weight=depth_weight)
+        weights = self._weights(opt, depth_weight=depth_weight)
 
         # newest-first keyframe selection (mapper.py:647-649)
         selected = [self.keyframe_list[-(i + 1)] for i in range(select_keyframe_num)]
@@ -390,18 +403,13 @@ class Mapper:
         def make_entry(kf):
             m = kf["map"]
             cam_dev = kf["frame"].device_dict()
-            gt_color = jnp.asarray(m["color_map"])
-            rmask, tile = self.evaluate_render_range(
-                cam_dev, global_opt=True, sample_ratio=sample_ratio,
-                unstable=False, gt_color=gt_color)
             return {
-                "color": gt_color,
+                "color": jnp.asarray(m["color_map"]),
                 "depth": jnp.asarray(m["depth_map"])[..., 0],
                 "normal": jnp.asarray(m["normal_map"]),
                 "w2c": jnp.asarray(cam_dev["w2c"]),
                 "K": jnp.asarray(cam_dev["K"]),
                 "campos": jnp.asarray(cam_dev["campos"]),
-                "render_mask": rmask, "tile_mask": tile,
             }
 
         report = None
@@ -410,56 +418,60 @@ class Mapper:
             n_actual = len(entries)
             while len(entries) < self.global_keyframe_num:
                 entries.append(entries[-1])
-            batch = self._stack_batch(entries)
             n_iters = self.gaussian_update_iter
             seq = self.rng.integers(0, n_actual, size=n_iters)
             seq[n_iters // 2 + 1:] = n_actual - 1
-            self.state, report = optimize.run_optimize(
-                self.state, batch, jnp.asarray(seq, jnp.int32), n_iters,
-                stable_mask(self.state), stable_mask(self.state),
-                lrs, hyper, self.settings)
+            self.state, report = optimize.optimize_chain(
+                self.state, *self._stack_entries(entries),
+                jnp.asarray(seq, jnp.int32), n_iters, lrs, weights,
+                self.settings, mode="global", sample_ratio=sample_ratio,
+                mask_depth_positive=False, max_weight=0.0)
         else:
             # final sweep: shuffled keyframes, a chunk of iterations each
             # (host-chunked so all keyframe maps never co-reside in HBM)
             order = self.rng.permutation(select_keyframe_num)
             for kf_idx in order:
                 entry = make_entry(selected[int(kf_idx)])
-                batch = self._stack_batch([entry])
                 n_iters = self.final_global_iter
                 seq = np.zeros(n_iters, np.int64)
-                self.state, report = optimize.run_optimize(
-                    self.state, batch, jnp.asarray(seq, jnp.int32), n_iters,
-                    stable_mask(self.state), stable_mask(self.state),
-                    lrs, hyper, self.settings)
+                self.state, report = optimize.optimize_chain(
+                    self.state, *self._stack_entries([entry]),
+                    jnp.asarray(seq, jnp.int32), n_iters, lrs, weights,
+                    self.settings, mode="global", sample_ratio=-1.0,
+                    mask_depth_positive=False, max_weight=0.0)
         return report
 
     # ------------------------------------------------------------------
     # error-driven self-healing
     # ------------------------------------------------------------------
     def lifecycle(self):
-        """fix -> error strikes -> unstable delete, fused into one device
-        call over one render of the latest frame (mapper.py:123-126,510-591)."""
+        """fix -> error strikes -> unstable delete, fused WITH its render and
+        the next frame's occupancy counters into one device call
+        (mapper.py:123-126,510-591)."""
         if not self.processed_frames:
             self.state = map_ops.fix_confident(
                 self.state, self.stable_confidence_thres)
             self.state = map_ops.delete_gaussians(
                 self.state, self.time, self.unstable_time_window, unstable=True)
+            self._refresh_counters()
             return
         rec = self.processed_frames[-1]
-        out = self._render(rec["cam_dev"], "global")
-        # recycle as this frame's model render (state differs only by the
-        # gaussians the strike pass below deletes/releases)
-        self._cached_render = out
-        self._cached_render_key = (self.time, rec["camera"].uid)
+        cd = rec["cam_dev"]
         fm = rec["frame_map"]
-        self.state = map_ops.lifecycle_step(
+        self.state, out, self._hwm_dev, self._stable_dev = map_ops.lifecycle_chain(
             self.state,
-            out["render"], out["depth"], out["normal"],
-            out["depth_index_map"], out["color_index_map"],
+            jnp.asarray(cd["w2c"]), jnp.asarray(cd["K"]), jnp.asarray(cd["campos"]),
             fm["color_map"], fm["depth_map"],
             self.stable_confidence_thres, self.add_color_thres,
             self.add_depth_thres, self.time, self.unstable_time_window,
-            self.config.capacity)
+            self.config.capacity, self.settings)
+        # recycle as this frame's model render (state differs only by the
+        # gaussians the strike pass deleted/released)
+        self._cached_render = out
+        self._cached_render_key = (self.time, rec["camera"].uid)
+
+    def _refresh_counters(self):
+        self._hwm_dev, self._stable_dev = map_ops.map_counters(self.state)
 
     # ------------------------------------------------------------------
     # top-level per-frame entry
@@ -483,7 +495,7 @@ class Mapper:
                     self.global_optimization(
                         opt, select_keyframe_num=self.global_keyframe_num)
             else:
-                if not is_keyframe or self.get_stable_num <= 0:
+                if not is_keyframe or self._cached_stable_num() <= 0:
                     self.local_optimize(frame, opt)
                 else:
                     self.global_optimization(
@@ -531,3 +543,4 @@ class Mapper:
         data = ply_utils.read_gaussian_ply(ply_path)
         from ..models.gaussian_map import load_numpy_dict
         self.state = load_numpy_dict(MapState.create(self.config), data, STABLE)
+        self._refresh_counters()

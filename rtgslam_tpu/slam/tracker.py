@@ -23,7 +23,8 @@ import numpy as np
 
 from ..data.camera import Camera
 from ..ops import preprocess
-from ..ops.icp import IcpTracker, fuse_model_depth
+from ..ops.icp import (IcpTracker, build_icp_pyramids, fuse_model_depth,
+                       icp_solve_all_levels)
 from ..utils import traj as traj_utils
 from ..utils.geometry import world_to_view
 
@@ -65,6 +66,91 @@ def lift_to_world(vertex_c: jnp.ndarray, normal_c: jnp.ndarray, c2w: jnp.ndarray
             preprocess.transform_map(normal_c, rot_only))
 
 
+def _lift(fm: dict, c2w: jnp.ndarray) -> dict:
+    rot_only = jnp.eye(4).at[:3, :3].set(c2w[:3, :3])
+    fm["vertex_map_w"] = preprocess.transform_map(fm["vertex_map_c"], c2w)
+    fm["normal_map_w"] = preprocess.transform_map(fm["normal_map_c"], rot_only)
+    return fm
+
+
+@partial(jax.jit, static_argnames=(
+    "min_depth", "max_depth", "confidence_thresh", "use_filter"))
+def preprocess_and_lift(depth, color, K, c2w, min_depth, max_depth,
+                        confidence_thresh, use_filter):
+    """Preprocess + world lift in one executable, for poses known up front
+    (gt mode and the first frame)."""
+    fm = preprocess_frame.__wrapped__(
+        depth, color, K, min_depth, max_depth, confidence_thresh, use_filter)
+    return _lift(fm, c2w)
+
+
+# ICP-failure gate thresholds (see IcpTracker.predict_pose rationale)
+_GATE_DELTA_M = 0.01
+_GATE_COS = float(np.cos(np.deg2rad(1.0)))
+
+
+@partial(jax.jit, static_argnames=(
+    "min_depth", "max_depth", "confidence_thresh", "use_filter",
+    "use_model", "use_motion_model", "downscales", "iters", "association",
+    "levels", "damping", "distance_threshold", "normal_threshold",
+    "sample_distance_threshold", "sample_normal_threshold", "fail_threshold"))
+def fused_icp_track_step(
+        depth, color, K,
+        t0_depth, render_depth, render_normal, frame_normal_w,
+        prev_c2w, last_rel,
+        *, min_depth, max_depth, confidence_thresh, use_filter,
+        use_model, use_motion_model, downscales, iters, association, levels,
+        damping, distance_threshold, normal_threshold,
+        sample_distance_threshold, sample_normal_threshold, fail_threshold):
+    """One ICP-tracked frame as a SINGLE executable.
+
+    Fuses the whole reference tracking chain (tracker.py:97-293 +
+    icp.py:385-452): preprocess -> current-frame pyramids -> model-depth
+    fusion -> target pyramids -> coarse-to-fine GN solve -> failure gate ->
+    pose composition -> world-space map lift.  The reference runs these as
+    ~6 separate device round trips plus 2 blocking host syncs per frame; on
+    a TPU every dispatch pays launch (and, here, tunnel) latency, so the
+    host sees exactly one dispatch and fetches one (pose, p2p, success)
+    tuple per frame.
+
+    The failure gate (accept / coast-on-prediction) runs on-device so the
+    lifted maps never wait on a host decision.
+    """
+    fm = preprocess_frame.__wrapped__(
+        depth, color, K, min_depth, max_depth, confidence_thresh, use_filter)
+    v1, n1 = build_icp_pyramids.__wrapped__(fm["depth_map"], K, levels)
+    if use_model:
+        t0 = fuse_model_depth.__wrapped__(
+            render_depth, t0_depth, render_normal, frame_normal_w,
+            sample_distance_threshold, sample_normal_threshold)
+    else:
+        t0 = t0_depth
+    v0, n0 = build_icp_pyramids.__wrapped__(t0, K, levels)
+
+    pose_init = last_rel if use_motion_model else jnp.eye(4, dtype=jnp.float32)
+    pose10, p2p = icp_solve_all_levels.__wrapped__(
+        pose_init, tuple(v1), tuple(v0), tuple(n1), tuple(n0), K,
+        downscales, iters, damping, distance_threshold, normal_threshold,
+        association)
+    success = p2p <= fail_threshold
+
+    with jax.default_matmul_precision("highest"):
+        if use_motion_model:
+            delta = jnp.linalg.norm(pose10[:3, 3] - last_rel[:3, 3])
+            cos_ang = jnp.clip(
+                (jnp.trace(pose10[:3, :3].T @ last_rel[:3, :3]) - 1.0) / 2.0,
+                -1.0, 1.0)
+            coast = (~success) & ((delta > _GATE_DELTA_M) | (cos_ang < _GATE_COS))
+            pose_used = jnp.where(coast, last_rel, pose10)
+            new_last_rel = pose_used
+        else:
+            pose_used = pose10
+            new_last_rel = jnp.where(success, pose10, jnp.eye(4, pose10.dtype))
+        c2w = prev_c2w @ pose_used
+    fm = _lift(fm, c2w)
+    return fm, c2w, pose_used, new_last_rel, p2p, success
+
+
 class Tracker:
     def __init__(self, args, orb_backend=None):
         self.use_gt_pose = bool(args.use_gt_pose)
@@ -88,17 +174,22 @@ class Tracker:
             from .pose_backend import create_backend
             self.orb_backend = create_backend(args)
 
+        # fused single-dispatch tracking (gt / pure-ICP modes); the ORB
+        # backend path keeps the staged pipeline because the pose decision
+        # crosses to the host mid-frame
+        self.fused = not (self.use_orb_backend and not self.use_gt_pose)
+        self._prev_depth = None          # previous frame's filtered depth
+        self._model_feedback = None      # (render_d, frame_d, render_n, frame_n)
+        self._last_rel_dev = None
+        self._prev_c2w = np.eye(4, dtype=np.float32)
+        self._frame_count = 0
+        self._zero3 = None
+
     # ------------------------------------------------------------------
     def map_preprocess(self, frame: Camera, frame_id: int) -> Dict[str, jnp.ndarray]:
         K = jnp.asarray(frame.intrinsic)
         if self.K is None:
             self.K = K
-        depth = jnp.asarray(frame.depth, jnp.float32)
-        color = jnp.asarray(frame.image, jnp.float32)
-        frame_map = preprocess_frame(
-            depth, color, K, self.min_depth, self.max_depth,
-            self.invalid_confidence_thresh, self.depth_filter)
-        frame_map["time"] = frame_id
         self.curr_frame = {
             "frame_id": frame_id,
             "timestamp": frame.timestamp,
@@ -112,6 +203,16 @@ class Tracker:
             self.curr_frame["depth_u16"] = (
                 np.asarray(frame.depth[..., 0]) * frame.depth_scale
             ).astype(np.uint16)
+        if self.fused:
+            # all device work is deferred into tracking()'s single fused
+            # dispatch; the frame_map dict is filled there
+            return {"time": frame_id}
+        depth = jnp.asarray(frame.depth, jnp.float32)
+        color = jnp.asarray(frame.image, jnp.float32)
+        frame_map = preprocess_frame(
+            depth, color, K, self.min_depth, self.max_depth,
+            self.invalid_confidence_thresh, self.depth_filter)
+        frame_map["time"] = frame_id
         self.icp.update_curr_status(frame_map["depth_map"], K)
         return frame_map
 
@@ -134,6 +235,8 @@ class Tracker:
     def tracking(self, frame: Camera, frame_map: Dict[str, jnp.ndarray]) -> bool:
         self.pose_gt.append(np.asarray(self.curr_frame["pose_gt"]))
         self.timestamps.append(self.curr_frame["timestamp"])
+        if self.fused:
+            return self._tracking_fused(frame, frame_map)
         success = True
         if self.use_gt_pose:
             pose_t1_w = self.pose_gt[-1]
@@ -162,11 +265,75 @@ class Tracker:
         frame_map["normal_map_w"] = normal_w
         return success
 
+    def _tracking_fused(self, frame: Camera, frame_map: Dict) -> bool:
+        """gt / pure-ICP tracking with ONE device dispatch per frame."""
+        depth = jnp.asarray(frame.depth, jnp.float32)
+        color = jnp.asarray(frame.image, jnp.float32)
+        icp = self.icp
+        success = True
+        if self.use_gt_pose or not self.status["initialized"]:
+            pose_t1_w = (self.pose_gt[-1] if self.use_gt_pose
+                         else np.eye(4, dtype=np.float32))
+            fm = preprocess_and_lift(
+                depth, color, self.K, jnp.asarray(pose_t1_w, jnp.float32),
+                self.min_depth, self.max_depth,
+                self.invalid_confidence_thresh, self.depth_filter)
+            self.status["initialized"] = True
+        else:
+            self._frame_count += 1
+            feedback = self._model_feedback
+            use_model = (icp.use_model_depth and feedback is not None
+                         and self._frame_count >= icp.warmup_frames)
+            if use_model:
+                render_d, t0_depth, render_n, frame_n = feedback
+            else:
+                t0_depth = self._prev_depth
+                if self._zero3 is None:
+                    self._zero3 = jnp.zeros(t0_depth.shape[:2] + (3,))
+                render_d, render_n, frame_n = t0_depth, self._zero3, self._zero3
+            if self._last_rel_dev is None:
+                self._last_rel_dev = jnp.eye(4, dtype=jnp.float32)
+            fm, c2w, _, new_last_rel, p2p, ok = fused_icp_track_step(
+                depth, color, self.K,
+                t0_depth, render_d, render_n, frame_n,
+                jnp.asarray(self._prev_c2w, jnp.float32), self._last_rel_dev,
+                min_depth=self.min_depth, max_depth=self.max_depth,
+                confidence_thresh=self.invalid_confidence_thresh,
+                use_filter=self.depth_filter, use_model=use_model,
+                use_motion_model=icp.use_motion_model,
+                downscales=tuple(icp.downscales), iters=tuple(icp.iters),
+                association=icp.association, levels=icp.levels,
+                damping=icp.damping,
+                distance_threshold=icp.distance_threshold,
+                normal_threshold=icp.normal_threshold,
+                sample_distance_threshold=icp.sample_distance_threshold,
+                sample_normal_threshold=icp.sample_normal_threshold,
+                fail_threshold=icp.fail_threshold)
+            self._last_rel_dev = new_last_rel
+            # the ONLY per-frame device->host fetch: pose + success scalar
+            pose_t1_w, success = jax.device_get((c2w, ok))
+            success = bool(success)
+
+        self._prev_depth = fm["depth_map"]
+        self._model_feedback = None
+        self._prev_c2w = np.asarray(pose_t1_w, np.float32)
+        fm["time"] = frame_map.get("time", self.curr_frame["frame_id"])
+        frame_map.update(fm)
+        self.pose_es.append(np.asarray(pose_t1_w))
+        frame.update_pose(np.asarray(pose_t1_w, np.float64))
+        return success
+
     # ------------------------------------------------------------------
     def update_last_status(self, frame, render_depth, frame_depth,
                            render_normal, frame_normal):
         """Feed the mapper's rendered model depth back into the ICP target
-        (frame-to-model tracking, reference slam.py:83-89)."""
+        (frame-to-model tracking, reference slam.py:83-89).  On the fused
+        path the fuse itself happens inside the next frame's single
+        dispatch; here we only stash the device arrays."""
+        if self.fused:
+            self._model_feedback = (render_depth, frame_depth,
+                                    render_normal, frame_normal)
+            return
         self.icp.update_last_status(render_depth, frame_depth,
                                     render_normal, frame_normal)
 
