@@ -46,6 +46,11 @@ class RasterSettings:
     block_capacity: int = 4096
     tile_capacity: int = 1024
     max_visible: int = 131072
+    # Pallas TPU blend kernel for inference renders (grid = tiles, per-tile
+    # early exit).  `pallas_interpret` runs it in interpreter mode (CPU
+    # tests); gradients always take the XLA scan path.
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @classmethod
     def from_args(cls, args, height: int, width: int,
@@ -65,6 +70,8 @@ class RasterSettings:
             block_capacity=getattr(args, "block_capacity", 4096),
             tile_capacity=getattr(args, "tile_capacity", 1024),
             max_visible=getattr(args, "max_visible", 131072),
+            use_pallas=bool(getattr(args, "use_pallas_blend", False)),
+            pallas_interpret=bool(getattr(args, "pallas_interpret", False)),
         )
 
 
@@ -105,12 +112,24 @@ def _render_impl(
         rgb, gaussians["opacity"].reshape(-1)[order], elig,
     ))
     origins = binning.tile_origins(H, W)
-    tiles = blend.blend_tiles(
-        feat, order, bins.tile_lists, bins.tile_counts, origins,
-        opaque_threshold=settings.opaque_threshold,
-        T_threshold=settings.T_threshold,
-        differentiable=differentiable,
-    )
+    if settings.use_pallas and not differentiable:
+        from . import pallas_blend
+
+        order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
+        tiles = pallas_blend.blend_tiles_pallas(
+            feat[bins.tile_lists], order_pad[bins.tile_lists],
+            bins.tile_counts, origins,
+            opaque_threshold=settings.opaque_threshold,
+            t_threshold=settings.T_threshold,
+            interpret=settings.pallas_interpret,
+        )
+    else:
+        tiles = blend.blend_tiles(
+            feat, order, bins.tile_lists, bins.tile_counts, origins,
+            opaque_threshold=settings.opaque_threshold,
+            T_threshold=settings.T_threshold,
+            differentiable=differentiable,
+        )
 
     def to_image(x, channels):
         img = binning.scatter_tiles(x.reshape(x.shape[0], blend.TILE * blend.TILE, channels), H, W)

@@ -58,3 +58,27 @@ def test_pallas_empty_tiles():
                              opaque_threshold=0.6, interpret=True)
     assert np.all(np.asarray(out.T_final) == 1.0)
     assert np.all(np.asarray(out.depth_index) == -1)
+
+
+def test_use_pallas_flag_in_render_api():
+    """`use_pallas_blend` selects the Pallas kernel for inference renders
+    through the product API and matches the XLA path."""
+    import dataclasses
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_rasterizer import make_scene
+    from rtgslam_tpu.ops.rasterize import render
+
+    g, cam, st = make_scene(P=64, n_alive=24, seed=1, H=64, W=96)
+    st = dataclasses.replace(st, tile_capacity=128)  # pallas needs Kt % 128 == 0
+    ref = render(g, cam, st, differentiable=False)
+    st_p = dataclasses.replace(st, use_pallas=True, pallas_interpret=True)
+    out = render(g, cam, st_p, differentiable=False)
+    for k in ("render", "depth", "T_map"):
+        assert np.allclose(np.asarray(out[k]), np.asarray(ref[k]), atol=1e-5), k
+    assert np.array_equal(np.asarray(out["depth_index_map"]),
+                          np.asarray(ref["depth_index_map"]))
+    # gradients always take the XLA path even with the flag on
+    grad_out = render(g, cam, st_p, differentiable=True)
+    assert np.allclose(np.asarray(grad_out["render"]),
+                       np.asarray(ref["render"]), atol=1e-5)
