@@ -1,0 +1,113 @@
+"""Loop detection + geometric verification for the pose backend.
+
+The reference gets loop closure for free from its ORB-SLAM2 backend (DBoW2
+place recognition + pose-graph optimization inside the C++ system,
+``thirdParty/ORB-SLAM2-PYBIND``; the corrected trajectory is re-applied by
+``mapper.update_poses``, mapper.py:134-141).  This framework's backend is an
+odometry/pose-graph store (``native/pose_backend.cc``), so detection is done
+here on the host:
+
+  1. candidate gating: an earlier keyframe whose estimated camera center is
+     within ``radius`` metres, whose viewing direction agrees within
+     ``angle_deg``, and which is at least ``min_gap`` frames old;
+  2. geometric verification: the *jitted ICP pyramid solve* (the same
+     executable the tracker uses) aligns the candidate's stored depth map
+     with the current one, seeded by the estimated relative pose;  the
+     point-to-plane residual of the converged solve accepts or rejects;
+  3. on acceptance, the caller feeds ``(i, j, T_ij)`` to
+     ``backend.add_loop_constraint`` and the relaxed trajectory flows back
+     through ``tracker.get_new_poses() -> mapper.update_poses``.
+
+Depth maps are stored on host RAM (keyframe-rate, like the reference's
+keyframe CPU offload) and pushed to the device only for verification.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.icp import build_icp_pyramids, icp_solve_all_levels
+
+
+class LoopCloser:
+    def __init__(self, args):
+        self.every = int(getattr(args, "loop_check_every", 5))
+        self.min_gap = int(getattr(args, "loop_min_gap", 30))
+        self.radius = float(getattr(args, "loop_candidate_radius", 0.4))
+        self.angle_deg = float(getattr(args, "loop_candidate_angle", 30.0))
+        self.p2p_accept = float(getattr(args, "loop_p2p_accept",
+                                        getattr(args, "icp_fail_threshold", 5e-5)))
+        self.min_valid_depth = 0.05   # reject views with no geometry
+        self.cooldown = int(getattr(args, "loop_cooldown", 20))
+
+        self.downscales = list(args.icp_downscales)
+        self.iters = list(args.icp_downscale_iters)
+        self.levels = len(self.downscales)
+        self.damping = float(args.icp_damping)
+        self.distance_threshold = float(args.icp_distance_threshold)
+        self.normal_threshold = float(
+            np.cos(np.deg2rad(args.icp_normal_threshold)))
+        self.association = str(getattr(args, "icp_association", "bilinear"))
+
+        self.records: List[Dict] = []
+        self._last_closure = -(10 ** 9)
+
+    # ------------------------------------------------------------------
+    def observe(self, frame_id: int, c2w_est: np.ndarray,
+                depth_map, K) -> Optional[Tuple[int, int, np.ndarray]]:
+        """Record the frame (every ``every`` frames) and return a verified
+        loop ``(i, j, T_ij)`` with ``T_ij = c2w_i^-1 c2w_j`` or None."""
+        if frame_id % self.every != 0:
+            return None
+        depth_np = np.asarray(depth_map, np.float32)
+        rec = {"id": frame_id, "c2w": np.asarray(c2w_est, np.float64),
+               "depth": depth_np,
+               "valid": float((depth_np > 0).mean())}
+        result = None
+        if rec["valid"] >= self.min_valid_depth \
+                and frame_id - self._last_closure >= self.cooldown:
+            cand = self._best_candidate(rec)
+            if cand is not None:
+                T_ij, p2p = self._verify(cand, rec, K)
+                if p2p <= self.p2p_accept:
+                    self._last_closure = frame_id
+                    result = (cand["id"], frame_id, T_ij)
+        self.records.append(rec)
+        return result
+
+    # ------------------------------------------------------------------
+    def _best_candidate(self, rec) -> Optional[Dict]:
+        best, best_d = None, np.inf
+        c = rec["c2w"][:3, 3]
+        view = rec["c2w"][:3, 2]
+        cos_thresh = np.cos(np.deg2rad(self.angle_deg))
+        for old in self.records:
+            if rec["id"] - old["id"] < self.min_gap:
+                continue
+            if old["valid"] < self.min_valid_depth:
+                continue
+            d = np.linalg.norm(old["c2w"][:3, 3] - c)
+            if d > self.radius or d >= best_d:
+                continue
+            if float(old["c2w"][:3, 2] @ view) < cos_thresh:
+                continue
+            best, best_d = old, d
+        return best
+
+    def _verify(self, cand, rec, K) -> Tuple[np.ndarray, float]:
+        """ICP-align current depth (t1) against the candidate's (t0), seeded
+        with the drifted estimate; returns (refined T_ij, residual)."""
+        K = jnp.asarray(K, jnp.float32)
+        v0, n0 = build_icp_pyramids(jnp.asarray(cand["depth"]), K, self.levels)
+        v1, n1 = build_icp_pyramids(jnp.asarray(rec["depth"]), K, self.levels)
+        seed = jnp.asarray(
+            np.linalg.inv(cand["c2w"]) @ rec["c2w"], jnp.float32)
+        pose10, p2p = icp_solve_all_levels(
+            seed, tuple(v1), tuple(v0), tuple(n1), tuple(n0), K,
+            jnp.asarray(self.downscales, jnp.float32), tuple(self.iters),
+            self.damping, self.distance_threshold, self.normal_threshold,
+            self.association)
+        return np.asarray(pose10, np.float64), float(p2p)

@@ -44,12 +44,71 @@ def _pose_to_row(stamp: float, pose: np.ndarray):
             r[2, 0], r[2, 1], r[2, 2], t[2])
 
 
+def _so3_log(R: np.ndarray) -> np.ndarray:
+    tr = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(tr)
+    s = np.sin(theta)
+    k = 0.5 if abs(s) < 1e-9 else theta / (2.0 * s)
+    return k * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+
+
+def _so3_exp(w: np.ndarray) -> np.ndarray:
+    theta = np.linalg.norm(w)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = w / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def relax_pose_graph(poses: List[np.ndarray], loops, iterations: int = 50):
+    """Decoupled rotation/translation Gauss-Seidel pose-graph relaxation —
+    the numpy twin of ``native/pose_backend.cc:Backend::relax`` (kept in
+    lockstep; equivalence pinned by tests/test_pose_backend.py).
+
+    ``loops``: (i, j, T_ij, weight) with T_ij = c2w_i^-1 @ c2w_j measured.
+    Odometry constraints come from the chain at entry; pose 0 is gauge-fixed.
+    """
+    n = len(poses)
+    if n < 2 or not loops:
+        return poses
+    poses = [p.copy() for p in poses]
+    cons = [(i, i + 1, np.linalg.inv(poses[i]) @ poses[i + 1], 1.0)
+            for i in range(n - 1)]
+    cons += [tuple(l) for l in loops]
+    for _ in range(iterations):
+        acc_w = np.zeros((n, 3))
+        acc_t = np.zeros((n, 3))
+        wsum = np.full(n, 1e-9)
+        for (i, j, T_ij, wt) in cons:
+            if not (0 <= i < n and 0 <= j < n):
+                continue
+            pred_j = poses[i] @ T_ij
+            pred_i = poses[j] @ np.linalg.inv(T_ij)
+            for idx, pred in ((j, pred_j), (i, pred_i)):
+                if idx == 0:
+                    continue  # gauge-fix the first pose
+                delta = pred @ np.linalg.inv(poses[idx])
+                acc_w[idx] += wt * _so3_log(delta[:3, :3])
+                acc_t[idx] += wt * (pred[:3, 3] - poses[idx][:3, 3])
+                wsum[idx] += wt
+        step = 0.5
+        for k in range(1, n):
+            R = _so3_exp(step * acc_w[k] / wsum[k])
+            upd = poses[k].copy()
+            upd[:3, :3] = R @ poses[k][:3, :3]
+            upd[:3, 3] = poses[k][:3, 3] + step * acc_t[k] / wsum[k]
+            poses[k] = upd
+    return poses
+
+
 class FakePoseBackend:
     """Drop-in orbslam2.System replacement that trusts the ICP odometry."""
 
     def __init__(self, vocab_path: str = "", settings_path: str = "", sensor=None):
         self._poses: List[np.ndarray] = []
         self._stamps: List[float] = []
+        self._loops: List[tuple] = []
         self._keyframe_every = 10
         self._use_icp = True
         self._running = False
@@ -80,6 +139,16 @@ class FakePoseBackend:
         prev = self._poses[-1] if self._poses else np.eye(4)
         self._poses.append(prev.copy())
         self._stamps.append(timestamp)
+
+    # -- loop closure ------------------------------------------------------
+    def add_loop_constraint(self, i: int, j: int, T_ij: np.ndarray,
+                            weight: float = 1.0, iterations: int = 50) -> None:
+        """Register a measured relative pose T_ij = c2w_i^-1 @ c2w_j between
+        frames i and j and relax the pose graph (native twin:
+        ``pb_add_loop_constraint``)."""
+        self._loops.append((int(i), int(j), np.asarray(T_ij, np.float64),
+                            float(weight)))
+        self._poses = relax_pose_graph(self._poses, self._loops, iterations)
 
     # -- trajectory --------------------------------------------------------
     def get_trajectory_points(self):

@@ -27,6 +27,7 @@ from ..ops.icp import (IcpTracker, build_icp_pyramids, fuse_model_depth,
                        icp_solve_all_levels)
 from ..utils import traj as traj_utils
 from ..utils.geometry import world_to_view
+from ..utils.perf import span
 
 
 @partial(jax.jit, static_argnames=("use_filter",))
@@ -178,6 +179,13 @@ class Tracker:
         # backend path keeps the staged pipeline because the pose decision
         # crosses to the host mid-frame
         self.fused = not (self.use_orb_backend and not self.use_gt_pose)
+
+        # loop detection + ICP verification feeding the backend's pose graph
+        # (reference gets this from ORB-SLAM2's DBoW2 place recognition)
+        self.loop_closer = None
+        if not self.fused and bool(getattr(args, "use_loop_closure", True)):
+            from .loop_closure import LoopCloser
+            self.loop_closer = LoopCloser(args)
         self._prev_depth = None          # previous frame's filtered depth
         self._model_feedback = None      # (render_d, frame_d, render_n, frame_n)
         self._last_rel_dev = None
@@ -256,6 +264,23 @@ class Tracker:
 
         self.icp.move_last_status()
         self.pose_es.append(np.asarray(pose_t1_w))
+
+        if self.loop_closer is not None and not self.use_gt_pose:
+            loop = self.loop_closer.observe(
+                self.curr_frame["frame_id"], pose_t1_w,
+                frame_map["depth_map"], self.K)
+            if loop is not None:
+                i, j, T_ij = loop
+                self.orb_backend.add_loop_constraint(i, j, T_ij)
+                # adopt the relaxed history (including this frame's pose)
+                corrected, _ = convert_poses(
+                    self.orb_backend.get_trajectory_points())
+                if len(corrected) == len(self.pose_es):
+                    self.pose_es = corrected
+                    pose_t1_w = corrected[-1]
+                self.status["loops_closed"] = \
+                    int(self.status.get("loops_closed", 0)) + 1
+
         frame.update_pose(pose_t1_w)
 
         vertex_w, normal_w = lift_to_world(
@@ -267,8 +292,9 @@ class Tracker:
 
     def _tracking_fused(self, frame: Camera, frame_map: Dict) -> bool:
         """gt / pure-ICP tracking with ONE device dispatch per frame."""
-        depth = jnp.asarray(frame.depth, jnp.float32)
-        color = jnp.asarray(frame.image, jnp.float32)
+        with span("track.upload"):
+            depth = jnp.asarray(frame.depth, jnp.float32)
+            color = jnp.asarray(frame.image, jnp.float32)
         icp = self.icp
         success = True
         if self.use_gt_pose or not self.status["initialized"]:
@@ -293,25 +319,27 @@ class Tracker:
                 render_d, render_n, frame_n = t0_depth, self._zero3, self._zero3
             if self._last_rel_dev is None:
                 self._last_rel_dev = jnp.eye(4, dtype=jnp.float32)
-            fm, c2w, _, new_last_rel, p2p, ok = fused_icp_track_step(
-                depth, color, self.K,
-                t0_depth, render_d, render_n, frame_n,
-                jnp.asarray(self._prev_c2w, jnp.float32), self._last_rel_dev,
-                min_depth=self.min_depth, max_depth=self.max_depth,
-                confidence_thresh=self.invalid_confidence_thresh,
-                use_filter=self.depth_filter, use_model=use_model,
-                use_motion_model=icp.use_motion_model,
-                downscales=tuple(icp.downscales), iters=tuple(icp.iters),
-                association=icp.association, levels=icp.levels,
-                damping=icp.damping,
-                distance_threshold=icp.distance_threshold,
-                normal_threshold=icp.normal_threshold,
-                sample_distance_threshold=icp.sample_distance_threshold,
-                sample_normal_threshold=icp.sample_normal_threshold,
-                fail_threshold=icp.fail_threshold)
+            with span("track.dispatch"):
+                fm, c2w, _, new_last_rel, p2p, ok = fused_icp_track_step(
+                    depth, color, self.K,
+                    t0_depth, render_d, render_n, frame_n,
+                    jnp.asarray(self._prev_c2w, jnp.float32), self._last_rel_dev,
+                    min_depth=self.min_depth, max_depth=self.max_depth,
+                    confidence_thresh=self.invalid_confidence_thresh,
+                    use_filter=self.depth_filter, use_model=use_model,
+                    use_motion_model=icp.use_motion_model,
+                    downscales=tuple(icp.downscales), iters=tuple(icp.iters),
+                    association=icp.association, levels=icp.levels,
+                    damping=icp.damping,
+                    distance_threshold=icp.distance_threshold,
+                    normal_threshold=icp.normal_threshold,
+                    sample_distance_threshold=icp.sample_distance_threshold,
+                    sample_normal_threshold=icp.sample_normal_threshold,
+                    fail_threshold=icp.fail_threshold)
             self._last_rel_dev = new_last_rel
             # the ONLY per-frame device->host fetch: pose + success scalar
-            pose_t1_w, success = jax.device_get((c2w, ok))
+            with span("track.pose_fetch"):
+                pose_t1_w, success = jax.device_get((c2w, ok))
             success = bool(success)
 
         self._prev_depth = fm["depth_map"]

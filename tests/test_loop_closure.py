@@ -1,0 +1,190 @@
+"""Loop closure: pose-graph relaxation, detection/verification, and the
+drift-correction contract (reference: ORB-SLAM2 backend loop closing whose
+corrected trajectory the mapper re-applies, tracker.py:225-260 +
+mapper.py:134-141)."""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from rtgslam_tpu.slam.pose_backend import (FakePoseBackend, relax_pose_graph)
+
+
+def _chain_with_drift(n, step=0.02, bias=0.002):
+    """Ground-truth straight-line poses + drifted estimates."""
+    gt, est = [], []
+    for i in range(n):
+        g = np.eye(4)
+        g[0, 3] = step * i
+        gt.append(g)
+        e = g.copy()
+        e[2, 3] = bias * i     # linear drift in z
+        est.append(e)
+    return gt, est
+
+
+def _ate(a, b):
+    a = np.stack([p[:3, 3] for p in a])
+    b = np.stack([p[:3, 3] for p in b])
+    return float(np.sqrt(np.mean(np.sum((a - b) ** 2, axis=-1))))
+
+
+def test_relax_pose_graph_reduces_drift():
+    gt, est = _chain_with_drift(30)
+    T_ij = np.linalg.inv(gt[0]) @ gt[29]         # perfect loop measurement
+    before = _ate(gt, est)
+    relaxed = relax_pose_graph(est, [(0, 29, T_ij, 5.0)], iterations=200)
+    after = _ate(gt, relaxed)
+    assert after < 0.5 * before
+    # gauge: first pose untouched
+    assert np.allclose(relaxed[0], est[0])
+
+
+def test_fake_backend_loop_constraint_end_to_end():
+    """Feed drifted odometry through the backend API, close the loop, and
+    check the returned trajectory improves."""
+    gt, est = _chain_with_drift(25)
+    be = FakePoseBackend()
+    be.initialize(True)
+    be.process_image_rgbd(None, None, 0.0)
+    for i in range(1, 25):
+        rel = np.linalg.inv(est[i - 1]) @ est[i]
+        be.track_with_icp_pose(None, None, rel, float(i))
+    from rtgslam_tpu.slam.tracker import convert_poses
+
+    before, _ = convert_poses(be.get_trajectory_points())
+    ate_before = _ate(gt, before)
+    be.add_loop_constraint(0, 24, np.linalg.inv(gt[0]) @ gt[24],
+                           weight=5.0, iterations=200)
+    after, _ = convert_poses(be.get_trajectory_points())
+    assert _ate(gt, after) < 0.5 * ate_before
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native", "build", "libpose_backend.so")),
+    reason="native backend not built")
+def test_native_matches_fake_relaxation():
+    from rtgslam_tpu.slam.native_backend import NativePoseBackend
+    from rtgslam_tpu.slam.tracker import convert_poses
+
+    lib = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "native", "build", "libpose_backend.so")
+    gt, est = _chain_with_drift(20)
+    fake, native = FakePoseBackend(), NativePoseBackend(lib)
+    for be in (fake, native):
+        be.initialize(True)
+        be.process_image_rgbd(None, None, 0.0)
+        for i in range(1, 20):
+            rel = np.linalg.inv(est[i - 1]) @ est[i]
+            be.track_with_icp_pose(None, None, rel.astype(np.float32), float(i))
+        be.add_loop_constraint(0, 19, np.linalg.inv(gt[0]) @ gt[19],
+                               weight=5.0, iterations=100)
+    pf, _ = convert_poses(fake.get_trajectory_points())
+    pn, _ = convert_poses(native.get_trajectory_points())
+    for a, b in zip(pf, pn):
+        assert np.allclose(a, b, atol=1e-6)
+
+
+class DriftingBackend(FakePoseBackend):
+    """Fake backend that corrupts every odometry increment — simulates the
+    accumulating front-end drift a loop closure must undo."""
+
+    def __init__(self, bias):
+        super().__init__()
+        self.bias = np.asarray(bias, np.float64)
+
+    def track_with_icp_pose(self, color, depth, pose_rel, timestamp):
+        p = np.asarray(pose_rel, np.float64).copy()
+        p[:3, 3] += self.bias
+        super().track_with_icp_pose(color, depth, p, timestamp)
+
+
+def _loop_sequence(base_cams):
+    """Out-and-back revisit: the tail returns through earlier viewpoints."""
+    seq = list(base_cams) + list(base_cams[-2::-1])
+    out = []
+    for i, cam in enumerate(seq):
+        c = copy.copy(cam)
+        c.uid = i
+        c.timestamp = i / 30.0
+        out.append(c)
+    return out
+
+
+def test_tracker_loop_closure_drops_ate(base_args):
+    """e2e: injected odometry drift on a revisiting trajectory; the
+    detector finds the revisit, the ICP verification measures T_ij, the
+    pose graph relaxes, and the final ATE beats the no-closure run."""
+    from rtgslam_tpu.data.synthetic import make_cameras
+    from rtgslam_tpu.slam import Tracker
+
+    cams = _loop_sequence(make_cameras(n_frames=10, H=96, W=128))
+    n = len(cams)  # 19 frames; frame 18 revisits frame 0's viewpoint
+
+    def run(use_closure):
+        args = copy.deepcopy(base_args)
+        args.use_gt_pose = False
+        args.use_orb_backend = True
+        args.icp_use_model_depth = False
+        args.use_loop_closure = use_closure
+        args.loop_check_every = 1
+        args.loop_min_gap = 14
+        args.loop_cooldown = 50
+        args.loop_candidate_radius = 0.4
+        tracker = Tracker(args, orb_backend=DriftingBackend([0.0015, 0, 0.001]))
+        tracker.orb_backend.initialize(True)
+        for i, cam in enumerate(cams):
+            fm = tracker.map_preprocess(cam, i)
+            tracker.tracking(cam, fm)
+        return tracker
+
+    t_open = run(use_closure=False)
+    t_closed = run(use_closure=True)
+    assert t_closed.status.get("loops_closed", 0) >= 1
+    ate_open = t_open.eval_ate()
+    ate_closed = t_closed.eval_ate()
+    assert ate_closed < ate_open, (ate_open, ate_closed)
+    assert ate_closed < 0.7 * ate_open, (ate_open, ate_closed)
+
+
+def test_update_poses_propagates_correction(base_args, synthetic_cams):
+    """After a closure, mapper.update_poses must re-pose its frame memory and
+    keyframes to the corrected trajectory and keep rendering consistent."""
+    from rtgslam_tpu.config import OptimizationParams
+    from rtgslam_tpu.slam import Mapper, Tracker
+
+    args = copy.deepcopy(base_args)
+    args.use_gt_pose = False
+    args.use_orb_backend = True
+    args.icp_use_model_depth = False
+    args.use_loop_closure = False      # constraint injected manually below
+    opt = OptimizationParams().extract(args)
+    tracker = Tracker(args, orb_backend=DriftingBackend([0.002, 0, 0]))
+    tracker.orb_backend.initialize(True)
+    mapper = Mapper(args)
+    cams = synthetic_cams
+    for i, cam in enumerate(cams):
+        fm = tracker.map_preprocess(cam, i)
+        tracker.tracking(cam, fm)
+        mapper.update_poses(tracker.get_new_poses())
+        mapper.mapping(cam, fm, i, opt)
+        mapper.time += 1
+
+    drifted = [e["camera"].c2w.copy() for e in mapper.processed_frames]
+    # inject a ground-truth loop constraint between frame 0 and the last
+    n = len(cams)
+    T_ij = np.linalg.inv(cams[0].pose_gt) @ cams[n - 1].pose_gt
+    tracker.orb_backend.add_loop_constraint(0, n - 1, T_ij,
+                                            weight=5.0, iterations=200)
+    mapper.update_poses(tracker.get_new_poses())
+    corrected = [e["camera"].c2w.copy() for e in mapper.processed_frames]
+    moved = [not np.allclose(a, b, atol=1e-9)
+             for a, b in zip(drifted, corrected)]
+    assert any(moved), "update_poses did not re-apply the relaxed trajectory"
+    # the re-posed frame memory must still render (map consistency)
+    out = mapper._render(mapper.processed_frames[-1]["cam_dev"], "global")
+    assert np.isfinite(np.asarray(out["render"])).all()
