@@ -25,15 +25,20 @@ from ..ops.rasterize import RasterSettings
 from ..utils.ply import read_ply
 
 
-def lpips(img: np.ndarray, gt: np.ndarray) -> float:
-    """LPIPS(alex) when weights are available, else NaN (pure-JAX AlexNet,
-    see models/lpips.py; export weights with scripts/export_lpips_weights.py)."""
+def lpips(img: np.ndarray, gt: np.ndarray):
+    """LPIPS(alex) when weights are available, else None (pure-JAX AlexNet,
+    see models/lpips.py; export weights with scripts/export_lpips_weights.py
+    on a connected machine and point LPIPS_WEIGHTS at the npz).  Returning
+    None — not NaN — makes eval outputs drop the column explicitly instead
+    of carrying a poisoned number (reference scores LPIPS per frame,
+    SLAM/eval.py:58-66)."""
     from ..models.lpips import lpips as lpips_jax
 
     try:
-        return lpips_jax(img, gt)
+        val = lpips_jax(img, gt)
     except Exception:
-        return float("nan")
+        return None
+    return None if (val is None or np.isnan(val)) else float(val)
 
 
 def eval_picture(render_out: Dict, gt_color: np.ndarray, gt_depth: np.ndarray,
@@ -58,7 +63,6 @@ def eval_picture(render_out: Dict, gt_color: np.ndarray, gt_depth: np.ndarray,
         "psnr": psnr,
         "ssim": ssim_v,
         "ms_ssim": ms_ssim_v,
-        "lpips": lpips(img.astype(np.float32), gt_c.astype(np.float32)),
         "depth_l1_cm": depth_l1,
         "valid_ratio": valid_ratio,
         # dropped gaussian-tile entries: non-zero means the static binning
@@ -66,6 +70,13 @@ def eval_picture(render_out: Dict, gt_color: np.ndarray, gt_depth: np.ndarray,
         # far gaussians render as holes — raise tile_capacity)
         "bin_overflow": int(render_out.get("overflow", 0)),
     }
+    lp = lpips(img.astype(np.float32), gt_c.astype(np.float32))
+    if lp is not None:
+        metrics["lpips"] = lp
+    elif not eval_picture._warned_lpips:
+        eval_picture._warned_lpips = True
+        print("[eval] lpips: unavailable (no AlexNet weights shipped; set "
+              "LPIPS_WEIGHTS to an npz from scripts/export_lpips_weights.py)")
 
     if save_path:
         import cv2
@@ -80,6 +91,9 @@ def eval_picture(render_out: Dict, gt_color: np.ndarray, gt_depth: np.ndarray,
         cv2.imwrite(os.path.join(save_path, f"{name}_depth.jpg"),
                     cv2.applyColorMap((dn * 255).astype(np.uint8), cv2.COLORMAP_JET))
     return metrics
+
+
+eval_picture._warned_lpips = False
 
 
 def eval_frame(mapper, frame, save_path: Optional[str] = None,
