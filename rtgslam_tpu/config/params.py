@@ -148,4 +148,6 @@ class MapParams(ParamGroup):
         self.temp_capacity = 65536
         self.block_capacity = 4096
         self.tile_capacity = 1024
+        self.use_pallas_blend = False
+        self.multi_device = False
         super().__init__(parser, "Map Parameters", sentinel)

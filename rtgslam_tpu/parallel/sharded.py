@@ -105,6 +105,91 @@ def dp_optimize_step(
     return state.with_params(new_params), loss
 
 
+def dp_global_optimize(
+    state: MapState,
+    colors, depths, normals, w2cs, Ks, camposes,   # stacked [F == mesh size]
+    n_steps: int,
+    lrs: Dict[str, jnp.ndarray],
+    weights: Dict[str, jnp.ndarray],
+    settings: RasterSettings,
+    mesh: Mesh,
+    sample_ratio: float = 0.4,
+):
+    """Keyframe global optimization over a device mesh, complete with the
+    per-keyframe partial-render masks computed ON the owning device.
+
+    The single-chip twin is ``optimize.optimize_chain(mode="global")``; here
+    each device holds one keyframe, renders its own color-error tile mask
+    from the replicated stable pool, and every step takes a pmean'd gradient
+    over all keyframes — a strictly larger batch than the reference's
+    one-random-keyframe-per-iteration loop (mapper.py:594-712).  Used by
+    ``Mapper.global_optimization`` when a mesh is configured.
+    """
+    from ..models.map_ops import capture_history
+    from ..models.gaussian_map import render_inputs, stable_mask
+    from ..ops import preprocess
+    from ..ops.rasterize.api import _render_impl
+
+    axis = mesh.axis_names[0]
+    H, W = settings.height, settings.width
+    params = state.params()
+    hist = capture_history(state)
+    hyper = dict(weights)
+    hyper.update(hist_opacity=hist["opacity"], hist_scaling=hist["scaling"],
+                 hist_xyz=hist["xyz"], hist_rotation_raw=hist["rotation_raw"])
+    smask = stable_mask(state)
+    aux = {"render_alive": smask, "update_mask": smask}
+    mask_gauss = render_inputs(state, smask)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(params, colors, depths, normals, w2cs, Ks, camposes):
+        cam_w2c, cam_K, campos = w2cs[0], Ks[0], camposes[0]
+        gt_color = colors[0]
+        out = _render_impl.__wrapped__(
+            mask_gauss, cam_w2c, cam_K, campos, None, settings, False, False)
+        if sample_ratio > 0:
+            err = jnp.sum(jnp.abs(out["render"] - gt_color), axis=-1)
+            err = jnp.where(jnp.sum(out["render"], axis=-1) == 0, 0.0, err)
+            tile = preprocess.colorerror_to_tilemask(err, 16, sample_ratio)
+            rmask = preprocess.tilemask_to_pixelmask(tile, H, W)
+        else:
+            rmask = out["T_map"][..., 0] != 1.0
+            tile = jnp.ones(((H + 15) // 16, (W + 15) // 16), jnp.int32)
+        local_frame = {
+            "color": gt_color, "depth": depths[0], "normal": normals[0],
+            "w2c": cam_w2c, "K": cam_K, "campos": campos,
+            "render_mask": rmask, "tile_mask": tile,
+        }
+        m = {k: jnp.zeros_like(v) for k, v in params.items()}
+        v = {k: jnp.zeros_like(vv) for k, vv in params.items()}
+
+        def body(i, carry):
+            params, m, v, _ = carry
+            (_, report), grads = jax.value_and_grad(
+                opt_mod._loss_fn, has_aux=True)(
+                    params, aux, local_frame, settings, hyper)
+            grads = jax.lax.pmean(grads, axis)
+            params, m, v = opt_mod._adam_step(
+                params, grads, m, v, i, lrs, aux["update_mask"])
+            return params, m, v, report
+
+        init_report = jax.lax.pcast(
+            {k: jnp.float32(0)
+             for k in ("total", "color", "depth", "normal", "attach")},
+            (axis,), to="varying")
+        params, _, _, report = jax.lax.fori_loop(
+            0, n_steps, body, (params, m, v, init_report))
+        return params, jax.lax.pmean(report["total"], axis)
+
+    new_params, loss = run(params, colors, depths, normals, w2cs, Ks, camposes)
+    return state.with_params(new_params), loss
+
+
 # ---------------------------------------------------------------------------
 # driver dry-run: compile + execute the full sharded step on a virtual mesh
 # ---------------------------------------------------------------------------

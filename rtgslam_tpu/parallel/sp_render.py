@@ -28,8 +28,10 @@ from ..ops.rasterize.project import project_geometry, shade
 
 def sp_render(gaussians, camera, settings: RasterSettings, mesh: Mesh,
               tile_mask=None):
-    """Render with the blend sharded over ``mesh`` (1-D).  Same outputs as
-    ``ops.rasterize.render`` (inference path)."""
+    """Render with the blend sharded over ``mesh`` (1-D).  Emits the full
+    output contract of ``ops.rasterize.render`` (api.py:136-146): all seven
+    rasterizer outputs plus the gathered per-gaussian normal map and the
+    binning overflow counter.  Inference path only."""
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     H, W = settings.height, settings.width
@@ -87,6 +89,25 @@ def sp_render(gaussians, camera, settings: RasterSettings, mesh: Mesh,
     color = to_image(tiles.color, 3)
     depth = to_image(tiles.depth[..., None], 1)
     depth_index = to_image(tiles.depth_index[..., None].astype(jnp.int32), 1)[..., 0]
+    color_index = to_image(tiles.color_index[..., None].astype(jnp.int32), 1)[..., 0]
+    depth_w = to_image(tiles.depth_weight[..., None], 1)
+    color_w = to_image(tiles.color_weight[..., None], 1)
     T_map = to_image(tiles.T_final[..., None], 1)
-    return {"render": color, "depth": depth, "depth_index_map": depth_index,
-            "T_map": T_map}
+
+    # gathered world normal of the opaque gaussian (api.py:136-146 contract)
+    normal_pad = jnp.concatenate(
+        [gaussians["normal"], jnp.zeros((1, 3), gaussians["normal"].dtype)], axis=0)
+    normal = jnp.where(
+        (depth_index >= 0)[..., None], normal_pad[jnp.clip(depth_index, 0)], 0.0)
+
+    return {
+        "render": color,
+        "depth": depth,
+        "normal": normal,
+        "color_index_map": color_index,
+        "depth_index_map": depth_index,
+        "color_hit_weight": color_w,
+        "depth_hit_weight": depth_w,
+        "T_map": T_map,
+        "overflow": bins.overflow,
+    }

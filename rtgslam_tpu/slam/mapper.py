@@ -20,6 +20,7 @@ them and keeps the host-side bookkeeping (keyframes, recorder, checkpoints).
 from __future__ import annotations
 
 import os
+import time as time_mod
 from collections import deque
 from typing import Dict, List, Optional
 
@@ -38,6 +39,7 @@ from ..ops import preprocess
 from ..ops.rasterize import RasterSettings, render
 from ..utils import ply as ply_utils
 from ..utils.geometry import rot_compare, trans_compare
+from ..utils import perf
 
 
 class Mapper:
@@ -92,6 +94,15 @@ class Mapper:
         # lifecycle and fetched lazily next frame (no fresh dispatch+sync)
         self._hwm_dev = None
         self._stable_dev = None
+
+        # optional multi-chip mesh: standalone renders go tile-sharded
+        # (parallel/sp_render.py) and keyframe global optimization goes
+        # frame-parallel (parallel/sharded.py)
+        self.mesh = None
+        if bool(getattr(args, "multi_device", False)) and len(jax.devices()) > 1:
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh()
         self.key = jax.random.PRNGKey(2024)
         self.rng = np.random.default_rng(2024)
         self.max_spawn = self.config.temp_capacity // 2
@@ -146,6 +157,12 @@ class Mapper:
     def _render(self, cam_dev, which: str, tile_mask=None, settings=None):
         masks = {"global": alive_mask, "unstable": unstable_mask, "stable": stable_mask}
         gauss = render_inputs(self.state, masks[which](self.state))
+        if self.mesh is not None:
+            from ..parallel.sp_render import sp_render
+
+            cam = {k: jnp.asarray(v) for k, v in cam_dev.items()}
+            return sp_render(gauss, cam, settings or self.settings,
+                             self.mesh, tile_mask=tile_mask)
         return render(gauss, cam_dev, settings or self.settings,
                       tile_mask=tile_mask, differentiable=False)
 
@@ -194,14 +211,17 @@ class Mapper:
 
         # bound the KNN reference scans to the occupied slot prefix,
         # bucketed to powers of two so retraces stay rare
+        _t0 = time_mod.perf_counter()
         hwm = self._cached_hwm()
+        has_stable = self._cached_stable_num() > 0
+        perf.count("map.counter_fetch", time_mod.perf_counter() - _t0)
         ref_limit = 4096
         while ref_limit < hwm:
             ref_limit *= 2
         ref_limit = min(ref_limit, self.config.capacity)
-        has_stable = self._cached_stable_num() > 0
 
         cam = frame.device_dict()
+        _t0 = time_mod.perf_counter()
         self.state, n_inserted, model_out = map_ops.spawn_chain(
             self._next_key(), self.state,
             fm["vertex_map_w"], fm["normal_map_w"], fm["color_map"],
@@ -213,6 +233,7 @@ class Mapper:
             self.add_depth_thres, self.add_color_thres,
             self.config, self.max_spawn, self.H, self.W,
             first_frame, has_stable, ref_limit, self.settings)
+        perf.count("map.spawn_chain", time_mod.perf_counter() - _t0)
         if model_out is not None:
             self._set_model_map(model_out)
         if self.verbose:
@@ -234,11 +255,13 @@ class Mapper:
                     and l2_diff <= self.keyframe_trans_thes:
                 return False
         fm = self.frame_map
+        _t0 = time_mod.perf_counter()
         keymap = {
             "color_map": np.asarray(fm["color_map"]),
             "depth_map": np.asarray(fm["depth_map"]),
             "normal_map": np.asarray(fm["normal_map_w"]),
         }
+        perf.count("map.keyframe_offload", time_mod.perf_counter() - _t0)
         self.keyframe_list.append({"frame": frame.drop_images(), "map": keymap})
         self.keyframe_ids.append(frame_id)
         return not is_first
@@ -352,6 +375,7 @@ class Mapper:
         n_iters = self.gaussian_update_iter
         seq = self.rng.integers(0, n_actual, size=n_iters)
         seq[n_iters // 2 + 1:] = n_actual - 1  # late iters focus the newest frame
+        _t0 = time_mod.perf_counter()
         self.state, report = optimize.optimize_chain(
             self.state, *self._stack_entries(entries),
             jnp.asarray(seq, jnp.int32), n_iters,
@@ -359,6 +383,7 @@ class Mapper:
             mode="local", sample_ratio=-1.0,
             mask_depth_positive=(self.dataset_type == "Scannetpp"),
             max_weight=self.history_merge_max_weight)
+        perf.count("map.local_optimize", time_mod.perf_counter() - _t0)
         if self.tb_writer is not None:
             self.train_report(self.get_total_iter,
                               {k: float(v) for k, v in report.items()})
@@ -416,16 +441,32 @@ class Mapper:
         if not is_final:
             entries = [make_entry(kf) for kf in selected]
             n_actual = len(entries)
-            while len(entries) < self.global_keyframe_num:
-                entries.append(entries[-1])
-            n_iters = self.gaussian_update_iter
-            seq = self.rng.integers(0, n_actual, size=n_iters)
-            seq[n_iters // 2 + 1:] = n_actual - 1
-            self.state, report = optimize.optimize_chain(
-                self.state, *self._stack_entries(entries),
-                jnp.asarray(seq, jnp.int32), n_iters, lrs, weights,
-                self.settings, mode="global", sample_ratio=sample_ratio,
-                mask_depth_positive=False, max_weight=0.0)
+            _t0 = time_mod.perf_counter()
+            if self.mesh is not None:
+                # frame-parallel over the mesh: one keyframe per device,
+                # pmean'd gradients (parallel/sharded.py)
+                from ..parallel import dp_global_optimize
+
+                n_dev = self.mesh.devices.size
+                while len(entries) < n_dev:
+                    entries.append(entries[len(entries) % n_actual])
+                self.state, total = dp_global_optimize(
+                    self.state, *self._stack_entries(entries[:n_dev]),
+                    self.gaussian_update_iter, lrs, weights, self.settings,
+                    self.mesh, sample_ratio=sample_ratio)
+                report = {"total": total}
+            else:
+                while len(entries) < self.global_keyframe_num:
+                    entries.append(entries[-1])
+                n_iters = self.gaussian_update_iter
+                seq = self.rng.integers(0, n_actual, size=n_iters)
+                seq[n_iters // 2 + 1:] = n_actual - 1
+                self.state, report = optimize.optimize_chain(
+                    self.state, *self._stack_entries(entries),
+                    jnp.asarray(seq, jnp.int32), n_iters, lrs, weights,
+                    self.settings, mode="global", sample_ratio=sample_ratio,
+                    mask_depth_positive=False, max_weight=0.0)
+            perf.count("map.global_optimize", time_mod.perf_counter() - _t0)
         else:
             # final sweep: shuffled keyframes, a chunk of iterations each
             # (host-chunked so all keyframe maps never co-reside in HBM)
@@ -458,6 +499,7 @@ class Mapper:
         rec = self.processed_frames[-1]
         cd = rec["cam_dev"]
         fm = rec["frame_map"]
+        _t0 = time_mod.perf_counter()
         self.state, out, self._hwm_dev, self._stable_dev = map_ops.lifecycle_chain(
             self.state,
             jnp.asarray(cd["w2c"]), jnp.asarray(cd["K"]), jnp.asarray(cd["campos"]),
@@ -465,6 +507,7 @@ class Mapper:
             self.stable_confidence_thres, self.add_color_thres,
             self.add_depth_thres, self.time, self.unstable_time_window,
             self.config.capacity, self.settings)
+        perf.count("map.lifecycle_chain", time_mod.perf_counter() - _t0)
         # recycle as this frame's model render (state differs only by the
         # gaussians the strike pass deleted/released)
         self._cached_render = out
@@ -472,6 +515,14 @@ class Mapper:
 
     def _refresh_counters(self):
         self._hwm_dev, self._stable_dev = map_ops.map_counters(self.state)
+
+    def drain(self):
+        """Block until this frame's mapping chain has executed (fetches one
+        scalar already produced by lifecycle_chain).  Used by timing code so
+        mapping compute is charged to the mapping stage instead of leaking
+        into the next frame's tracking fetch."""
+        if self._hwm_dev is not None:
+            int(self._hwm_dev)
 
     # ------------------------------------------------------------------
     # top-level per-frame entry
