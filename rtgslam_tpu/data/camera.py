@@ -182,6 +182,15 @@ def load_camera(args, uid: int, info: CameraInfo, resolution_scale: float = 1.0)
         depth = np.ones(image.shape[:2], dtype=np.float32)
     depth = depth / info.depth_scale
 
+    # crop_edge: the reader already shrank width/height/cx/cy (TUM
+    # config.yaml crop_edge; reference dataset_readers.py:600-612 crops the
+    # decoded arrays) — recover the per-side margin from the shape delta so
+    # pixels and intrinsics agree.
+    crop = (image.shape[0] - info.height) // 2
+    if crop > 0:
+        image = image[crop:-crop, crop:-crop]
+        depth = depth[crop:-crop, crop:-crop]
+
     resolution = getattr(args, "resolution", 1)
     scale = resolution * resolution_scale if resolution in (1, 2, 4, 8) else resolution_scale
     if scale != 1:

@@ -148,7 +148,8 @@ def read_tum_scene(datapath, eval=False, llffhold=8, frame_start=0,
     from scipy.spatial.transform import Rotation
 
     def parse_list(path, skiprows=0):
-        return np.loadtxt(path, delimiter=" ", dtype=np.str_, skiprows=skiprows)
+        return np.loadtxt(path, delimiter=" ", dtype=np.str_, skiprows=skiprows,
+                          ndmin=2)
 
     pose_file = os.path.join(datapath, "groundtruth.txt")
     if not os.path.isfile(pose_file):
@@ -273,12 +274,41 @@ def read_blender_scene(datapath, eval=False, llffhold=8, frame_start=0,
 # Colmap (text sparse model: cameras.txt / images.txt)
 # ---------------------------------------------------------------------------
 
-def read_colmap_scene(datapath, eval=False, llffhold=8, frame_start=0,
-                      frame_num=-1, frame_step=0) -> SceneInfo:
-    from scipy.spatial.transform import Rotation
+# Colmap camera-model id -> (name, param count); binary model ids are fixed
+# by colmap's src/base/camera_models.h (reference colmap_loader.py:28-45).
+_COLMAP_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4), 2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5), 4: ("OPENCV", 8), 5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12), 7: ("FOV", 5), 8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5), 10: ("THIN_PRISM_FISHEYE", 12),
+}
 
-    sparse = os.path.join(datapath, "sparse", "0")
+
+def _colmap_intrinsics(model: str, params) -> tuple:
+    if model.startswith("SIMPLE_") or model in ("RADIAL", "RADIAL_FISHEYE", "FOV"):
+        return params[0], params[0], params[1], params[2]
+    return params[0], params[1], params[2], params[3]
+
+
+def _read_colmap_cameras(sparse: str) -> Dict[int, tuple]:
+    """cameras.bin (preferred) or cameras.txt -> {cam_id: (w,h,fx,fy,cx,cy)}.
+
+    Binary layout per colmap ``WriteCamerasBinary`` (reference
+    ``scene/colmap_loader.py:258-289``): u64 count, then per camera
+    i32 id, i32 model_id, u64 width, u64 height, f64 params[n]."""
+    import struct
+
     cams = {}
+    bin_path = os.path.join(sparse, "cameras.bin")
+    if os.path.isfile(bin_path):
+        with open(bin_path, "rb") as f:
+            (n,) = struct.unpack("<Q", f.read(8))
+            for _ in range(n):
+                cam_id, model_id, w, h = struct.unpack("<iiQQ", f.read(24))
+                name, n_params = _COLMAP_MODELS[model_id]
+                params = struct.unpack("<" + "d" * n_params, f.read(8 * n_params))
+                cams[cam_id] = (int(w), int(h)) + _colmap_intrinsics(name, params)
+        return cams
     with open(os.path.join(sparse, "cameras.txt")) as f:
         for line in f:
             if line.startswith("#") or not line.strip():
@@ -286,22 +316,58 @@ def read_colmap_scene(datapath, eval=False, llffhold=8, frame_start=0,
             parts = line.split()
             cam_id, model, w, h = int(parts[0]), parts[1], int(parts[2]), int(parts[3])
             params = list(map(float, parts[4:]))
-            if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
-                fx = fy = params[0]
-                cx, cy = params[1], params[2]
-            else:  # PINHOLE and friends
-                fx, fy, cx, cy = params[0], params[1], params[2], params[3]
-            cams[cam_id] = (w, h, fx, fy, cx, cy)
+            cams[cam_id] = (w, h) + _colmap_intrinsics(model, params)
+    return cams
 
-    infos = []
+
+def _read_colmap_images(sparse: str) -> List[tuple]:
+    """images.bin (preferred) or images.txt -> [(qvec, tvec, cam_id, name)].
+
+    Binary layout per colmap ``WriteImagesBinary`` (reference
+    ``scene/colmap_loader.py:212-255``): u64 count, then per image i32 id,
+    f64 qw qx qy qz tx ty tz, i32 cam_id, name chars until NUL, u64 n_pts2D,
+    n_pts2D x (f64 x, f64 y, i64 point3D_id) which we skip."""
+    import struct
+
+    out = []
+    bin_path = os.path.join(sparse, "images.bin")
+    if os.path.isfile(bin_path):
+        with open(bin_path, "rb") as f:
+            (n,) = struct.unpack("<Q", f.read(8))
+            for _ in range(n):
+                f.read(4)  # image_id
+                qw, qx, qy, qz, tx, ty, tz = struct.unpack("<7d", f.read(56))
+                (cam_id,) = struct.unpack("<i", f.read(4))
+                name = b""
+                while True:
+                    c = f.read(1)
+                    if c == b"\x00":
+                        break
+                    name += c
+                (n_pts,) = struct.unpack("<Q", f.read(8))
+                f.seek(24 * n_pts, 1)
+                out.append(((qw, qx, qy, qz), (tx, ty, tz), cam_id,
+                            name.decode("utf-8")))
+        return out
     with open(os.path.join(sparse, "images.txt")) as f:
         lines = [l for l in f if not l.startswith("#") and l.strip()]
-    for order, line in enumerate(lines[::2]):  # every other line is 2D points
+    for line in lines[::2]:  # every other line is 2D points
         parts = line.split()
-        qw, qx, qy, qz = map(float, parts[1:5])
-        tvec = np.array(list(map(float, parts[5:8])))
-        cam_id = int(parts[8])
-        name = parts[9]
+        out.append((tuple(map(float, parts[1:5])),
+                    tuple(map(float, parts[5:8])), int(parts[8]), parts[9]))
+    return out
+
+
+def read_colmap_scene(datapath, eval=False, llffhold=8, frame_start=0,
+                      frame_num=-1, frame_step=0) -> SceneInfo:
+    from scipy.spatial.transform import Rotation
+
+    sparse = os.path.join(datapath, "sparse", "0")
+    cams = _read_colmap_cameras(sparse)
+    infos = []
+    for order, (qvec, tvec_t, cam_id, name) in enumerate(_read_colmap_images(sparse)):
+        qw, qx, qy, qz = qvec
+        tvec = np.array(tvec_t)
         w, h, fx, fy, cx, cy = cams[cam_id]
         Rw2c = Rotation.from_quat([qx, qy, qz, qw]).as_matrix()
         c2w = np.eye(4)

@@ -310,6 +310,9 @@ def error_update(
     invalid = (gt_d == 0) | (depth_index < 0)
     depth_err = jnp.where(invalid, 0.0, depth_err)
     color_err = jnp.where(gt_d == 0, 0.0, color_err)
+    # The reference also zeroes the per-pixel normal error before the
+    # scatter (mapper.py:532 ``normal_error = devF(torch.zeros_like(...))``)
+    # — strike logic only ever consumes color/depth; kept for exact parity.
     normal_err = jnp.zeros_like(depth_err)
 
     g_color, g_depth, _ = segment_ops.accumulate_gaussian_error(

@@ -133,6 +133,153 @@ def test_colmap_layout(tmp_path):
     assert np.allclose(info.T, [0.1, 0.2, 0.3])
 
 
+def test_colmap_binary_layout(tmp_path):
+    """cameras.bin/images.bin parse to the same scene as the text model
+    (format: colmap WriteCamerasBinary/WriteImagesBinary; reference
+    scene/colmap_loader.py:212-289)."""
+    import struct
+
+    import cv2
+
+    d = tmp_path / "colmap_bin"
+    (d / "sparse" / "0").mkdir(parents=True)
+    (d / "images").mkdir()
+    cv2.imwrite(str(d / "images" / "img0.jpg"), np.zeros((32, 32, 3), np.uint8))
+    # one SIMPLE_PINHOLE camera: id=1, model 0, 32x32, f=40 cx=cy=16
+    with open(d / "sparse" / "0" / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 0, 32, 32))
+        f.write(struct.pack("<3d", 40.0, 16.0, 16.0))
+    # one image: identity quat, t=(0.1,0.2,0.3), 2 skipped 2D points
+    with open(d / "sparse" / "0" / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<i", 7))
+        f.write(struct.pack("<7d", 1, 0, 0, 0, 0.1, 0.2, 0.3))
+        f.write(struct.pack("<i", 1))
+        f.write(b"img0.jpg\x00")
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<ddq", 1.0, 2.0, -1) * 2)
+    ds = Dataset(make_args(str(d), "Colmap"))
+    assert len(ds) == 1
+    info = ds.scene_info.train_cameras[0]
+    assert np.allclose(info.T, [0.1, 0.2, 0.3])
+    assert info.width == 32 and np.isclose(info.cx, 16.0)
+
+
+def test_tum_association_tolerance(tmp_path):
+    """TUM association: rgb frames keep the nearest depth/pose stamps within
+    0.08 s and are dropped outside it; near-duplicate stamps are thinned to
+    ~32 fps (reference scene/dataset_readers.py:553-571).  Timestamps are
+    authentic fr1_desk-style epoch values."""
+    import cv2
+    import yaml
+
+    d = tmp_path / "fr1_desk"
+    (d / "rgb").mkdir(parents=True)
+    (d / "depth").mkdir()
+    H, W = 32, 48
+    # authentic-format TUM stamps: rgb at ~30 Hz, depth offset by ~25 ms,
+    # one rgb frame (idx 2) with no depth partner within 80 ms.
+    rgb_ts = [1305031452.791720, 1305031452.823674, 1305031452.859642,
+              1305031452.891726]
+    dep_ts = [1305031452.816237, 1305031452.849269, None, 1305031452.915980]
+    gt = ["# ground truth trajectory",
+          "1305031452.7916 1.2334 -0.0113 1.6941 0.7907 0.4393 -0.1770 -0.3879",
+          "1305031452.8234 1.2335 -0.0114 1.6939 0.7908 0.4392 -0.1770 -0.3879",
+          "1305031452.8596 1.2336 -0.0115 1.6937 0.7909 0.4391 -0.1771 -0.3878",
+          "1305031452.8918 1.2337 -0.0116 1.6935 0.7910 0.4390 -0.1771 -0.3878"]
+    rgb_lines, dep_lines = ["# color images"], ["# depth images"]
+    for i, t in enumerate(rgb_ts):
+        cv2.imwrite(str(d / "rgb" / f"{t:.6f}.png"),
+                    np.zeros((H, W, 3), np.uint8))
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+    for t in dep_ts:
+        if t is None:
+            continue
+        cv2.imwrite(str(d / "depth" / f"{t:.6f}.png"),
+                    np.full((H, W), 5000, np.uint16))
+        dep_lines.append(f"{t:.6f} depth/{t:.6f}.png")
+    (d / "rgb.txt").write_text("\n".join(rgb_lines))
+    (d / "depth.txt").write_text("\n".join(dep_lines))
+    (d / "groundtruth.txt").write_text("\n".join(gt))
+    (d / "config.yaml").write_text(yaml.safe_dump({
+        "fx": 517.3, "fy": 516.5, "cx": 318.6, "cy": 255.3,
+        "crop_edge": 0, "depth_scale": 5000.0}))
+    ds = Dataset(make_args(str(d), "TUM"))
+    # frame 2's nearest depth stamp is 1305031452.849269 (10.4 ms away) so it
+    # associates; every rgb frame has a depth+pose partner within 80 ms here
+    # and stamps are > 1/32 s apart, so all 4 survive.
+    assert len(ds) == 4
+    stamps = [c.timestamp for c in ds.scene_info.train_cameras]
+    assert stamps == sorted(stamps)
+    # gt pose association picked the nearest row: frame 0 pairs with the
+    # 1305031452.7916 line; pose_gt is first-frame-normalized so check the
+    # *relative* translation between frames 0 and 3 (~0.73 mm).
+    rel = np.linalg.norm(ds.scene_info.train_cameras[3].pose_gt[:3, 3])
+    assert 0 < rel < 0.002
+
+
+def test_tum_association_drops_unmatched(tmp_path):
+    """An rgb frame whose nearest depth stamp is > 0.08 s away is dropped."""
+    import cv2
+    import yaml
+
+    d = tmp_path / "tum_gap"
+    (d / "rgb").mkdir(parents=True)
+    (d / "depth").mkdir()
+    H, W = 32, 48
+    rgb_ts = [1305031453.000000, 1305031453.200000]
+    dep_ts = [1305031453.010000]  # second rgb frame has no partner (190 ms)
+    rgb_lines, dep_lines, gt = [], [], ["# gt"]
+    for t in rgb_ts:
+        cv2.imwrite(str(d / "rgb" / f"{t:.6f}.png"),
+                    np.zeros((H, W, 3), np.uint8))
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        gt.append(f"{t:.6f} 0 0 0 0 0 0 1")
+    for t in dep_ts:
+        cv2.imwrite(str(d / "depth" / f"{t:.6f}.png"),
+                    np.full((H, W), 5000, np.uint16))
+        dep_lines.append(f"{t:.6f} depth/{t:.6f}.png")
+    (d / "rgb.txt").write_text("\n".join(rgb_lines))
+    (d / "depth.txt").write_text("\n".join(dep_lines))
+    (d / "groundtruth.txt").write_text("\n".join(gt))
+    (d / "config.yaml").write_text(yaml.safe_dump({
+        "fx": 517.3, "fy": 516.5, "cx": 318.6, "cy": 255.3,
+        "crop_edge": 0, "depth_scale": 5000.0}))
+    ds = Dataset(make_args(str(d), "TUM"))
+    assert len(ds) == 1
+
+
+def test_tum_crop_edge(tmp_path):
+    """crop_edge=8 shrinks the decoded image by 16 px per axis and shifts
+    the principal point (reference dataset_readers.py:600-612,
+    utils/camera_utils.py crop handling)."""
+    import cv2
+    import yaml
+
+    d = tmp_path / "tum_crop"
+    (d / "rgb").mkdir(parents=True)
+    (d / "depth").mkdir()
+    H, W, crop = 48, 64, 8
+    t = 1305031452.791720
+    cv2.imwrite(str(d / "rgb" / f"{t:.6f}.png"), np.zeros((H, W, 3), np.uint8))
+    cv2.imwrite(str(d / "depth" / f"{t:.6f}.png"),
+                np.full((H, W), 5000, np.uint16))
+    (d / "rgb.txt").write_text(f"{t:.6f} rgb/{t:.6f}.png")
+    (d / "depth.txt").write_text(f"{t:.6f} depth/{t:.6f}.png")
+    (d / "groundtruth.txt").write_text(f"# gt\n{t:.6f} 0 0 0 0 0 0 1")
+    (d / "config.yaml").write_text(yaml.safe_dump({
+        "fx": 40.0, "fy": 40.0, "cx": W / 2, "cy": H / 2,
+        "crop_edge": crop, "depth_scale": 5000.0}))
+    args = make_args(str(d), "TUM")
+    ds = Dataset(args)
+    info = ds.scene_info.train_cameras[0]
+    assert np.isclose(info.cx, W / 2 - crop) and np.isclose(info.cy, H / 2 - crop)
+    cam = load_camera(args, 0, info)
+    assert cam.image.shape == (H - 2 * crop, W - 2 * crop, 3)
+    assert cam.depth.shape == (H - 2 * crop, W - 2 * crop, 1)
+
+
 def test_densify_export(tmp_path):
     from rtgslam_tpu.models.densify import save_densified_ply
     from rtgslam_tpu.utils.ply import read_ply
