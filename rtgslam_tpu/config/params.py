@@ -149,5 +149,6 @@ class MapParams(ParamGroup):
         self.block_capacity = 4096
         self.tile_capacity = 1024
         self.use_pallas_blend = False
+        self.use_fused_vjp = True
         self.multi_device = False
         super().__init__(parser, "Map Parameters", sentinel)

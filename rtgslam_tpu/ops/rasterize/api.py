@@ -51,6 +51,10 @@ class RasterSettings:
     # tests); gradients always take the XLA scan path.
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # custom-VJP blend for the optimize loop: early-exit forward + hand-
+    # written back-to-front backward (blend.blend_tiles_fused) instead of
+    # the scan+checkpoint autodiff path.  Pure XLA; default on.
+    use_fused_vjp: bool = True
 
     @classmethod
     def from_args(cls, args, height: int, width: int,
@@ -72,6 +76,7 @@ class RasterSettings:
             max_visible=getattr(args, "max_visible", 131072),
             use_pallas=bool(getattr(args, "use_pallas_blend", False)),
             pallas_interpret=bool(getattr(args, "pallas_interpret", False)),
+            use_fused_vjp=bool(getattr(args, "use_fused_vjp", True)),
         )
 
 
@@ -122,6 +127,13 @@ def _render_impl(
             opaque_threshold=settings.opaque_threshold,
             t_threshold=settings.T_threshold,
             interpret=settings.pallas_interpret,
+        )
+    elif differentiable and settings.use_fused_vjp:
+        order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
+        tiles = blend.blend_tiles_fused(
+            feat[bins.tile_lists], order_pad[bins.tile_lists],
+            bins.tile_counts, origins,
+            settings.opaque_threshold, settings.T_threshold,
         )
     else:
         tiles = blend.blend_tiles(

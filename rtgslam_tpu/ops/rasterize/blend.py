@@ -9,12 +9,17 @@ chunks of ``CHUNK`` gaussians at once —
   the chunk axis (a log-depth scan XLA vectorizes well);
 * color accumulation is a [256, CHUNK] @ [CHUNK, 3] matmul (MXU).
 
-Two execution modes share the math:
+Three execution modes share the math:
   ``blend_scan``  — fixed chunk count, reverse-differentiable (jax.checkpoint
                     on the body keeps activation memory at one chunk);
   ``blend_while`` — ``lax.while_loop`` with early exit once every pixel of
                     the tile is saturated (T < T_threshold) or the list is
                     exhausted; inference-only.
+  ``blend_tiles_fused`` — custom-VJP variant: the forward is the early-exit
+                    while_loop (recording each chunk's entry transmittance),
+                    the backward is a hand-written back-to-front traversal
+                    (the reference CUDA backward's structure,
+                    ``SLAM/render.py:110-133`` bwd) that also early-exits.
 
 Outputs per pixel (contract from ``SLAM/render.py:110-133``):
   color          standard alpha-blended RGB;
@@ -240,3 +245,201 @@ def blend_tiles_pregathered(
         )
 
     return jax.vmap(run_tile)(tile_feat, tile_gidx, tile_counts, origins)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP fused blend: early-exit forward AND hand-written backward
+# ---------------------------------------------------------------------------
+#
+# The scan path above differentiates via jax.checkpoint: every optimize
+# iteration pays (forward over ALL chunks) + (recompute + reverse over ALL
+# chunks), even though typical tiles hold 1-2 live chunks.  The fused path
+# mirrors the reference CUDA rasterizer (forward stops at T < threshold and
+# records per-chunk state; backward walks the same range back-to-front,
+# diff_gaussian_rasterization_depth backward.cu / SLAM/render.py:110-133):
+#
+#   C  = sum_i alpha_i T_i rgb_i,   T_i = prod_{j<i} (1 - alpha_j)
+#   dL/drgb_i   = w_i g_C
+#   dL/dalpha_i = T_i (rgb_i . g_C) - (s_i + T_fin g_T) / (1 - alpha_i),
+#                 s_i = sum_{j>i} w_j (rgb_j . g_C)
+#   depth out   = z of the first opaque hit  ->  dL/dz_k = g_D at that slot.
+#
+# Differentiable outputs: color, depth, T_final.  The hit-weight outputs and
+# index maps are treated as non-differentiable (the optimize loss never
+# consumes them; grads would be silently dropped — keep it that way).
+
+_BIG = jnp.float32(3.0e38)
+
+
+def _chunk_alphas_vjp(feat_chunk, pix, opaque_threshold):
+    """Like _chunk_alphas but also returns the pieces the backward needs:
+    exp-term, gradient gate, pixel deltas, conic rows."""
+    mean2d = feat_chunk[:, 0:2]
+    conic = feat_chunk[:, 2:5]
+    z = feat_chunk[:, 5]
+    rgb = feat_chunk[:, 6:9]
+    opa = feat_chunk[:, 9]
+    elig = feat_chunk[:, 10] > 0.5
+
+    d = pix[:, None, :] - mean2d[None, :, :]
+    dx, dy = d[..., 0], d[..., 1]
+    power = -0.5 * (conic[None, :, 0] * dx * dx + conic[None, :, 2] * dy * dy) \
+        - conic[None, :, 1] * dx * dy
+    e = jnp.exp(jnp.minimum(power, 0.0))
+    raw = opa[None, :] * e
+    alpha = jnp.minimum(raw, ALPHA_MAX)
+    gate = (power <= 0) & (raw >= ALPHA_EPS) & (raw < ALPHA_MAX)
+    alpha = jnp.where((power > 0) | (raw < ALPHA_EPS), 0.0, alpha)
+    opaque = elig[None, :] & (alpha >= opaque_threshold)
+    return alpha, rgb, z, opaque, e, gate, dx, dy, conic
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def blend_tiles_fused(tile_feat, tile_gidx, tile_counts, origins,
+                      opaque_threshold, T_threshold) -> TileOutputs:
+    """Differentiable blend with early exit in forward and backward.
+
+    Same inputs/outputs as :func:`blend_tiles_pregathered`; use for the
+    optimize loop's render (`models/optimize.py`)."""
+    out, _ = _fused_fwd(tile_feat, tile_gidx, tile_counts, origins,
+                        opaque_threshold, T_threshold)
+    return out
+
+
+def _fused_fwd(tile_feat, tile_gidx, tile_counts, origins,
+               opaque_threshold, T_threshold):
+    Kt = tile_feat.shape[1]
+    chunk = min(CHUNK, Kt)
+    n_chunks = Kt // chunk
+
+    def run_tile(tfeat, tgidx, count, origin):
+        pix = _tile_pixels(origin)
+        active_chunks = (count + chunk - 1) // chunk
+        entry0 = jnp.zeros((n_chunks, TILE * TILE))
+
+        def cond(state):
+            c, carry, _ = state
+            return (c < active_chunks) & (jnp.max(carry.T) > T_threshold)
+
+        def step(state):
+            c, carry, entry = state
+            entry = jax.lax.dynamic_update_slice_in_dim(
+                entry, carry.T[None], c, axis=0)
+            feat = jax.lax.dynamic_slice_in_dim(tfeat, c * chunk, chunk, axis=0)
+            gidx = jax.lax.dynamic_slice_in_dim(tgidx, c * chunk, chunk, axis=0)
+            return c + 1, _blend_chunk(carry, feat, gidx, pix, opaque_threshold), entry
+
+        done, carry, entry = jax.lax.while_loop(
+            cond, step, (jnp.int32(0), _init_carry(), entry0))
+        out = TileOutputs(
+            color=carry.color, depth=carry.depth,
+            depth_index=carry.depth_index, color_index=carry.color_index,
+            depth_weight=carry.depth_weight, color_weight=carry.color_weight,
+            T_final=carry.T)
+        return out, entry, done
+
+    out, entry_T, done = jax.vmap(run_tile)(
+        tile_feat, tile_gidx, tile_counts, origins)
+    res = (tile_feat, tile_gidx, origins, entry_T, done,
+           out.T_final, out.depth_index)
+    return out, res
+
+
+def _float_cot(g, like):
+    """Cotangents for integer outputs arrive as float0 — replace with zeros."""
+    if g is None or g.dtype == jax.dtypes.float0:
+        return jnp.zeros(like.shape, jnp.float32)
+    return g.astype(jnp.float32)
+
+
+def _fused_bwd(opaque_threshold, T_threshold, res, g: TileOutputs):
+    tile_feat, tile_gidx, origins, entry_T, done, T_fin, depth_index = res
+    Kt = tile_feat.shape[1]
+    chunk = min(CHUNK, Kt)
+
+    g_color = _float_cot(g.color, T_fin[..., None].repeat(3, -1))
+    g_depth = _float_cot(g.depth, T_fin)
+    g_T = _float_cot(g.T_final, T_fin)
+
+    def bwd_tile(tfeat, tgidx, origin, entry, n_done, Tf, didx,
+                 gc, gd, gt):
+        pix = _tile_pixels(origin)
+        tfin_gt = Tf * gt                                   # [256]
+
+        def cond(state):
+            c, _, _ = state
+            return c >= 0
+
+        def step(state):
+            c, s_carry, gfeat = state
+            feat = jax.lax.dynamic_slice_in_dim(tfeat, c * chunk, chunk, axis=0)
+            gidx = jax.lax.dynamic_slice_in_dim(tgidx, c * chunk, chunk, axis=0)
+            alpha, rgb, z, opaque, e, gate, dx, dy, conic = \
+                _chunk_alphas_vjp(feat, pix, opaque_threshold)
+
+            one_minus = 1.0 - alpha
+            cum = jnp.cumprod(one_minus, axis=1)
+            excl = jnp.concatenate(
+                [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+            T_in = entry[c][:, None] * excl                 # [256, C]
+            w = alpha * T_in
+
+            rgbdot = jnp.dot(gc, rgb.T,
+                             preferred_element_type=jnp.float32)  # [256, C]
+            wg = w * rgbdot
+            incl = jnp.cumsum(wg, axis=1)
+            tot = incl[:, -1]
+            s_in = tot[:, None] - incl                      # suffix-exclusive
+            s_total = s_in + s_carry[:, None]
+
+            galpha = T_in * rgbdot \
+                - (s_total + tfin_gt[:, None]) / one_minus
+            galpha = jnp.where(gate, galpha, 0.0)
+
+            gpow = galpha * alpha                           # [256, C]
+            gmean_x = jnp.sum(
+                gpow * (conic[None, :, 0] * dx + conic[None, :, 1] * dy), axis=0)
+            gmean_y = jnp.sum(
+                gpow * (conic[None, :, 2] * dy + conic[None, :, 1] * dx), axis=0)
+            gca = jnp.sum(gpow * (-0.5 * dx * dx), axis=0)
+            gcb = jnp.sum(gpow * (-dx * dy), axis=0)
+            gcc = jnp.sum(gpow * (-0.5 * dy * dy), axis=0)
+            gopa = jnp.sum(galpha * e, axis=0)
+            grgb = jnp.dot(w.T, gc,
+                           preferred_element_type=jnp.float32)  # [C, 3]
+
+            # depth: the forward recorded the hit's ORIGINAL index; a
+            # gaussian appears at most once per tile list, so matching
+            # indices recovers the hit slot (sentinels are -1 on both sides).
+            hit = opaque & (gidx[None, :] == didx[:, None]) & (didx >= 0)[:, None]
+            gz = jnp.sum(jnp.where(hit, gd[:, None], 0.0), axis=0)
+
+            gchunk = jnp.concatenate([
+                gmean_x[:, None], gmean_y[:, None],
+                gca[:, None], gcb[:, None], gcc[:, None],
+                gz[:, None], grgb, gopa[:, None],
+                jnp.zeros((chunk, 1)),
+            ], axis=-1)
+            gfeat = jax.lax.dynamic_update_slice_in_dim(
+                gfeat, gchunk, c * chunk, axis=0)
+            return c - 1, s_carry + tot, gfeat
+
+        _, _, gfeat = jax.lax.while_loop(
+            cond, step,
+            (n_done - 1, jnp.zeros(TILE * TILE), jnp.zeros((Kt, 11))))
+        return gfeat
+
+    g_feat = jax.vmap(bwd_tile)(
+        tile_feat, tile_gidx, origins, entry_T, done, T_fin, depth_index,
+        g_color, g_depth, g_T)
+
+    import numpy as np
+
+    # integer primals (gidx, counts) take float0 cotangents
+    return (g_feat,
+            np.zeros(tile_gidx.shape, jax.dtypes.float0),
+            np.zeros(done.shape, jax.dtypes.float0),
+            jnp.zeros_like(origins))
+
+
+blend_tiles_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -59,6 +59,7 @@ def _pick(values: jnp.ndarray, col: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarra
 
 def _kernel(count_ref, origin_ref, feat_ref, gidx_ref,
             color_ref, depth_ref, didx_ref, cidx_ref, dw_ref, cw_ref, T_ref,
+            entry_ref,
             *, n_chunks_static: int, opaque_threshold: float,
             t_threshold: float):
     t = pl.program_id(0)
@@ -82,10 +83,14 @@ def _kernel(count_ref, origin_ref, feat_ref, gidx_ref,
     dw_ref[0, 0, :] = jnp.zeros((NPIX,), jnp.float32)
     cw_ref[0, 0, :] = jnp.zeros((NPIX,), jnp.float32)
     T_ref[0, 0, :] = jnp.ones((NPIX,), jnp.float32)
+    # per-chunk entry transmittance (the custom-VJP backward's residual);
+    # rows of unprocessed chunks stay 0, processed rows are > t_threshold
+    entry_ref[0, :, :] = jnp.zeros((n_chunks_static, NPIX), jnp.float32)
 
     for c in range(n_chunks_static):
         @pl.when((c < n_chunks) & (jnp.max(T_ref[0, 0, :]) > t_threshold))
         def _(c=c):
+            entry_ref[0, c, :] = T_ref[0, 0, :]
             feat = feat_ref[0, c * CHUNK:(c + 1) * CHUNK, :]   # [C, 11]
             gidx = gidx_ref[0, 0, c * CHUNK:(c + 1) * CHUNK]   # [C]
             gidx_f = gidx.astype(jnp.float32)
@@ -152,30 +157,19 @@ def _kernel(count_ref, origin_ref, feat_ref, gidx_ref,
             T_ref[0, 0, :] = T * last[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("opaque_threshold", "t_threshold",
-                                             "interpret"))
-def blend_tiles_pallas(
-    tile_feat: jnp.ndarray,    # [T, Kt, 11] pre-gathered, depth-ordered
-    tile_gidx: jnp.ndarray,    # [T, Kt] int32 original indices (-1 sentinel)
-    tile_counts: jnp.ndarray,  # [T] int32
-    origins: jnp.ndarray,      # [T, 2] float32
-    opaque_threshold: float,
-    t_threshold: float = 1e-4,
-    interpret: bool = False,
-) -> TileOutputs:
+def _forward_call(tile_feat, tile_gidx, tile_counts, origins,
+                  opaque_threshold, t_threshold, interpret):
     T_tiles, Kt, F = tile_feat.shape
     assert Kt % CHUNK == 0, "tile_capacity must be a multiple of 128"
+    n_chunks = Kt // CHUNK
 
     kernel = functools.partial(
-        _kernel, n_chunks_static=Kt // CHUNK,
+        _kernel, n_chunks_static=n_chunks,
         opaque_threshold=float(opaque_threshold),
         t_threshold=float(t_threshold))
 
     def imap(t, c_ref, o_ref):
         return (t, 0, 0)
-
-    def imap2(t, c_ref, o_ref):
-        return (t, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -186,7 +180,8 @@ def blend_tiles_pallas(
         ],
         out_specs=[
             pl.BlockSpec((1, 3, NPIX), imap, memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((1, 1, NPIX), imap, memory_space=pltpu.VMEM)] * 6,
+        ] + [pl.BlockSpec((1, 1, NPIX), imap, memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec((1, n_chunks, NPIX), imap, memory_space=pltpu.VMEM)],
     )
 
     outs = pl.pallas_call(
@@ -200,15 +195,47 @@ def blend_tiles_pallas(
             jax.ShapeDtypeStruct((T_tiles, 1, NPIX), jnp.float32),
             jax.ShapeDtypeStruct((T_tiles, 1, NPIX), jnp.float32),
             jax.ShapeDtypeStruct((T_tiles, 1, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((T_tiles, n_chunks, NPIX), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(tile_counts, origins, tile_feat, tile_gidx[:, None, :])
 
-    color, depth, didx, cidx, dw, cw, Tf = outs
-    return TileOutputs(
+    color, depth, didx, cidx, dw, cw, Tf, entry = outs
+    tiles = TileOutputs(
         color=jnp.swapaxes(color, 1, 2), depth=depth[:, 0], depth_index=didx[:, 0],
         color_index=cidx[:, 0], depth_weight=dw[:, 0],
         color_weight=cw[:, 0], T_final=Tf[:, 0],
     )
+    return tiles, entry
+
+
+@functools.partial(jax.jit, static_argnames=("opaque_threshold", "t_threshold",
+                                             "interpret"))
+def blend_tiles_pallas(
+    tile_feat: jnp.ndarray,    # [T, Kt, 11] pre-gathered, depth-ordered
+    tile_gidx: jnp.ndarray,    # [T, Kt] int32 original indices (-1 sentinel)
+    tile_counts: jnp.ndarray,  # [T] int32
+    origins: jnp.ndarray,      # [T, 2] float32
+    opaque_threshold: float,
+    t_threshold: float = 1e-4,
+    interpret: bool = False,
+) -> TileOutputs:
+    tiles, _ = _forward_call(tile_feat, tile_gidx, tile_counts, origins,
+                             opaque_threshold, t_threshold, interpret)
+    return tiles
+
+
+def blend_fwd_pallas(tile_feat, tile_gidx, tile_counts, origins,
+                     opaque_threshold, t_threshold, interpret):
+    """Forward for the custom-VJP path: also returns (entry_T, done).
+
+    ``done`` (chunks processed per tile before early exit) is recovered from
+    the entry rows: a chunk was processed iff its entry row was written,
+    and written rows have max > t_threshold (the while condition)."""
+    tiles, entry = _forward_call(tile_feat, tile_gidx, tile_counts, origins,
+                                 opaque_threshold, t_threshold, interpret)
+    done = jnp.sum(jnp.max(entry, axis=-1) > t_threshold, axis=-1,
+                   dtype=jnp.int32)
+    return tiles, entry, done

@@ -185,6 +185,53 @@ def test_finite_difference_gradcheck():
     assert rel_errs[-1] < 0.25, rel_errs
 
 
+def test_fused_vjp_matches_scan_path():
+    """blend_tiles_fused (custom VJP, early exit) must agree with the
+    scan+checkpoint autodiff path on values AND gradients of a loss over
+    color, depth, and T_map."""
+    import dataclasses
+
+    g, cam, st = make_scene(P=96, n_alive=24, seed=3)
+    st_scan = dataclasses.replace(st, use_fused_vjp=False)
+    st_fused = dataclasses.replace(st, use_fused_vjp=True)
+
+    rng = np.random.default_rng(0)
+    wc = jnp.asarray(rng.standard_normal((st.height, st.width, 3)), jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((st.height, st.width, 1)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((st.height, st.width, 1)), jnp.float32)
+
+    def loss(params, settings):
+        out = render(dict(g, **params), cam, settings, differentiable=True)
+        return (jnp.sum(out["render"] * wc) + jnp.sum(out["depth"] * wd)
+                + jnp.sum(out["T_map"] * wt))
+
+    keys = ("xyz", "scales", "rotations", "opacity", "shs")
+    params = {k: g[k] for k in keys}
+    v_scan, g_scan = jax.value_and_grad(lambda p: loss(p, st_scan))(params)
+    v_fused, g_fused = jax.value_and_grad(lambda p: loss(p, st_fused))(params)
+
+    assert np.isclose(float(v_scan), float(v_fused), rtol=1e-4, atol=1e-4)
+    for k in keys:
+        a, b = np.asarray(g_scan[k]), np.asarray(g_fused[k])
+        assert np.isfinite(b).all(), k
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.allclose(a, b, atol=2e-4 * scale, rtol=2e-3), (
+            k, np.abs(a - b).max(), scale)
+
+
+def test_fused_vjp_forward_matches_inference():
+    """The fused forward IS the while_loop inference blend — outputs must be
+    bit-comparable to the non-differentiable render."""
+    g, cam, st = make_scene(P=96, n_alive=24, seed=5)
+    out_inf = render(g, cam, st, differentiable=False)
+    out_fused = render(g, cam, st, differentiable=True)
+    for k in ("render", "depth", "T_map"):
+        assert np.allclose(np.asarray(out_inf[k]), np.asarray(out_fused[k]),
+                           atol=1e-6), k
+    assert np.array_equal(np.asarray(out_inf["depth_index_map"]),
+                          np.asarray(out_fused["depth_index_map"]))
+
+
 def test_render_empty_map():
     g, cam, st = make_scene(n_alive=0)
     out = render(g, cam, st)
