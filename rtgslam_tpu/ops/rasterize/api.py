@@ -134,6 +134,7 @@ def _render_impl(
             feat[bins.tile_lists], order_pad[bins.tile_lists],
             bins.tile_counts, origins,
             settings.opaque_threshold, settings.T_threshold,
+            settings.use_pallas, settings.pallas_interpret,
         )
     else:
         tiles = blend.blend_tiles(

@@ -294,23 +294,38 @@ def _chunk_alphas_vjp(feat_chunk, pix, opaque_threshold):
     return alpha, rgb, z, opaque, e, gate, dx, dy, conic
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def blend_tiles_fused(tile_feat, tile_gidx, tile_counts, origins,
-                      opaque_threshold, T_threshold) -> TileOutputs:
+                      opaque_threshold, T_threshold,
+                      use_pallas=False, pallas_interpret=False) -> TileOutputs:
     """Differentiable blend with early exit in forward and backward.
 
     Same inputs/outputs as :func:`blend_tiles_pregathered`; use for the
-    optimize loop's render (`models/optimize.py`)."""
+    optimize loop's render (`models/optimize.py`).  With ``use_pallas`` both
+    the forward and the backward run as Pallas TPU kernels (grid = tiles,
+    fully independent per-tile early exit)."""
     out, _ = _fused_fwd(tile_feat, tile_gidx, tile_counts, origins,
-                        opaque_threshold, T_threshold)
+                        opaque_threshold, T_threshold,
+                        use_pallas, pallas_interpret)
     return out
 
 
 def _fused_fwd(tile_feat, tile_gidx, tile_counts, origins,
-               opaque_threshold, T_threshold):
+               opaque_threshold, T_threshold,
+               use_pallas=False, pallas_interpret=False):
     Kt = tile_feat.shape[1]
     chunk = min(CHUNK, Kt)
     n_chunks = Kt // chunk
+
+    if use_pallas:
+        from . import pallas_blend
+
+        out, entry_T, done = pallas_blend.blend_fwd_pallas(
+            tile_feat, tile_gidx, tile_counts, origins,
+            opaque_threshold, T_threshold, pallas_interpret)
+        res = (tile_feat, tile_gidx, origins, entry_T, done,
+               out.T_final, out.depth_index)
+        return out, res
 
     def run_tile(tfeat, tgidx, count, origin):
         pix = _tile_pixels(origin)
@@ -352,7 +367,8 @@ def _float_cot(g, like):
     return g.astype(jnp.float32)
 
 
-def _fused_bwd(opaque_threshold, T_threshold, res, g: TileOutputs):
+def _fused_bwd(opaque_threshold, T_threshold, use_pallas, pallas_interpret,
+               res, g: TileOutputs):
     tile_feat, tile_gidx, origins, entry_T, done, T_fin, depth_index = res
     Kt = tile_feat.shape[1]
     chunk = min(CHUNK, Kt)
@@ -360,6 +376,20 @@ def _fused_bwd(opaque_threshold, T_threshold, res, g: TileOutputs):
     g_color = _float_cot(g.color, T_fin[..., None].repeat(3, -1))
     g_depth = _float_cot(g.depth, T_fin)
     g_T = _float_cot(g.T_final, T_fin)
+
+    if use_pallas:
+        import numpy as np
+
+        from . import pallas_blend
+
+        g_feat = pallas_blend.blend_bwd_pallas(
+            tile_feat, tile_gidx, origins, entry_T, done,
+            g_color, g_depth, T_fin * g_T, depth_index,
+            opaque_threshold, pallas_interpret)
+        return (g_feat,
+                np.zeros(tile_gidx.shape, jax.dtypes.float0),
+                np.zeros(done.shape, jax.dtypes.float0),
+                jnp.zeros_like(origins))
 
     def bwd_tile(tfeat, tgidx, origin, entry, n_done, Tf, didx,
                  gc, gd, gt):

@@ -157,6 +157,172 @@ def _kernel(count_ref, origin_ref, feat_ref, gidx_ref,
             T_ref[0, 0, :] = T * last[:, 0]
 
 
+def _prefix_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 1 (Hillis-Steele doubling)."""
+    n = x.shape[1]
+    d = 1
+    while d < n:
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(x[:, :d]), x[:, :-d]], axis=1)
+        x = x + shifted
+        d *= 2
+    return x
+
+
+def _bwd_kernel(done_ref, origin_ref, feat_ref, gidx_ref, entry_ref,
+                gc_ref, gd_ref, tg_ref, didx_ref,
+                gfeat_ref, s_ref,
+                *, n_chunks_static: int, opaque_threshold: float):
+    """Back-to-front gradient walk for one tile (the reference CUDA
+    backward's structure, SLAM/render.py:110-133 bwd; math documented in
+    blend.py's fused-VJP section).  Chunks are a static reversed unroll
+    with ``pl.when(c < done)`` predication — unprocessed chunks keep zero
+    gradients, matching the forward's early exit exactly."""
+    t = pl.program_id(0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)[:, 0]
+    px = jnp.mod(ri, TILE).astype(jnp.float32) + origin_ref[t, 0]
+    py = (ri // TILE).astype(jnp.float32) + origin_ref[t, 1]
+    done = done_ref[t]
+
+    gfeat_ref[0, :, :] = jnp.zeros((n_chunks_static * CHUNK, 11), jnp.float32)
+    s_ref[0, :] = jnp.zeros((NPIX,), jnp.float32)
+
+    gc = gc_ref[0, :, :]        # [NPIX, 3]
+    gd = gd_ref[0, 0, :]        # [NPIX]
+    tg = tg_ref[0, 0, :]        # [NPIX]  (T_final * g_T)
+    didx = didx_ref[0, 0, :]    # [NPIX] int32
+
+    for c in reversed(range(n_chunks_static)):
+        @pl.when(c < done)
+        def _(c=c):
+            feat = feat_ref[0, c * CHUNK:(c + 1) * CHUNK, :]   # [C, 11]
+            gidx = gidx_ref[0, 0, c * CHUNK:(c + 1) * CHUNK]   # [C]
+
+            mean_x = feat[:, 0]
+            mean_y = feat[:, 1]
+            con_a = feat[:, 2]
+            con_b = feat[:, 3]
+            con_c = feat[:, 4]
+            rgb = feat[:, 6:9]
+            opa = feat[:, 9]
+            elig = feat[:, 10] > 0.5
+
+            dx = px[:, None] - mean_x[None, :]                 # [256, C]
+            dy = py[:, None] - mean_y[None, :]
+            power = (-0.5 * (con_a[None, :] * dx * dx
+                             + con_c[None, :] * dy * dy)
+                     - con_b[None, :] * dx * dy)
+            e = jnp.exp(jnp.minimum(power, 0.0))
+            raw = opa[None, :] * e
+            alpha = jnp.minimum(raw, ALPHA_MAX)
+            gate = (power <= 0) & (raw >= ALPHA_EPS) & (raw < ALPHA_MAX)
+            alpha = jnp.where((power > 0) | (raw < ALPHA_EPS), 0.0, alpha)
+            opaque = elig[None, :] & (alpha >= opaque_threshold)
+
+            one_minus = 1.0 - alpha
+            cum = _prefix_prod(one_minus)
+            excl = jnp.concatenate(
+                [jnp.ones((NPIX, 1), jnp.float32),
+                 jax.lax.slice_in_dim(cum, 0, CHUNK - 1, axis=1)], axis=1)
+            T_in = entry_ref[0, c, :][:, None] * excl
+            w = alpha * T_in
+
+            # rgbdot[px, i] = rgb_i . g_C(px)   (MXU)
+            rgbdot = jax.lax.dot_general(
+                gc, rgb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [256, C]
+            wg = w * rgbdot
+            incl = _prefix_sum(wg)
+            tot = jax.lax.slice_in_dim(incl, CHUNK - 1, CHUNK, axis=1)
+            s_in = tot - incl                                  # suffix-excl
+            s_total = s_in + s_ref[0, :][:, None]
+
+            galpha = T_in * rgbdot - (s_total + tg[:, None]) / one_minus
+            galpha = jnp.where(gate, galpha, 0.0)
+
+            gpow = galpha * alpha
+            gmean_x = jnp.sum(
+                gpow * (con_a[None, :] * dx + con_b[None, :] * dy), axis=0)
+            gmean_y = jnp.sum(
+                gpow * (con_c[None, :] * dy + con_b[None, :] * dx), axis=0)
+            gca = jnp.sum(gpow * (-0.5 * dx * dx), axis=0)
+            gcb = jnp.sum(gpow * (-dx * dy), axis=0)
+            gcc = jnp.sum(gpow * (-0.5 * dy * dy), axis=0)
+            gopa = jnp.sum(galpha * e, axis=0)
+            # grgb[i, :] = sum_px w[px, i] g_C(px, :)   (MXU)
+            grgb = jax.lax.dot_general(
+                w, gc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [C, 3]
+
+            hit = opaque & (gidx[None, :] == didx[:, None]) \
+                & (didx >= 0)[:, None]
+            gz = jnp.sum(jnp.where(hit, gd[:, None], 0.0), axis=0)
+
+            gchunk = jnp.concatenate([
+                gmean_x[:, None], gmean_y[:, None],
+                gca[:, None], gcb[:, None], gcc[:, None],
+                gz[:, None], grgb, gopa[:, None],
+                jnp.zeros((CHUNK, 1), jnp.float32),
+            ], axis=-1)
+            gfeat_ref[0, c * CHUNK:(c + 1) * CHUNK, :] = gchunk
+            s_ref[0, :] = s_ref[0, :] + tot[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("opaque_threshold", "interpret"))
+def blend_bwd_pallas(
+    tile_feat: jnp.ndarray,    # [T, Kt, 11]
+    tile_gidx: jnp.ndarray,    # [T, Kt] int32
+    origins: jnp.ndarray,      # [T, 2] float32
+    entry_T: jnp.ndarray,      # [T, n_chunks, 256]
+    done: jnp.ndarray,         # [T] int32 chunks processed
+    g_color: jnp.ndarray,      # [T, 256, 3] cotangent of color
+    g_depth: jnp.ndarray,      # [T, 256]
+    tfin_gt: jnp.ndarray,      # [T, 256]  T_final * cot(T_final)
+    depth_index: jnp.ndarray,  # [T, 256] int32 forward's hit indices
+    opaque_threshold: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas backward for the fused blend; returns d(loss)/d(tile_feat)."""
+    T_tiles, Kt, F = tile_feat.shape
+    assert Kt % CHUNK == 0
+    n_chunks = Kt // CHUNK
+
+    kernel = functools.partial(
+        _bwd_kernel, n_chunks_static=n_chunks,
+        opaque_threshold=float(opaque_threshold))
+
+    def imap(t, d_ref, o_ref):
+        return (t, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, Kt, F), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Kt), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_chunks, NPIX), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NPIX), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NPIX), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NPIX), imap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, Kt, F), imap, memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((1, NPIX), jnp.float32)],
+    )
+
+    (gfeat,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((T_tiles, Kt, F), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(done, origins, tile_feat, tile_gidx[:, None, :], entry_T,
+      g_color, g_depth[:, None, :], tfin_gt[:, None, :],
+      depth_index[:, None, :])
+    return gfeat
+
+
 def _forward_call(tile_feat, tile_gidx, tile_counts, origins,
                   opaque_threshold, t_threshold, interpret):
     T_tiles, Kt, F = tile_feat.shape

@@ -78,7 +78,33 @@ def test_use_pallas_flag_in_render_api():
         assert np.allclose(np.asarray(out[k]), np.asarray(ref[k]), atol=1e-5), k
     assert np.array_equal(np.asarray(out["depth_index_map"]),
                           np.asarray(ref["depth_index_map"]))
-    # gradients always take the XLA path even with the flag on
+    # the differentiable path with the flag on uses the Pallas fused VJP
     grad_out = render(g, cam, st_p, differentiable=True)
     assert np.allclose(np.asarray(grad_out["render"]),
                        np.asarray(ref["render"]), atol=1e-5)
+
+
+def test_pallas_fused_vjp_matches_xla_fused():
+    """Pallas forward+backward fused VJP == XLA fused VJP on values and
+    gradients of a color/depth/T loss (interpreter mode)."""
+    feat, order, bins, origins, tile_feat, tile_gidx, st = _setup(seed=7)
+    rng = np.random.default_rng(1)
+    T_tiles = tile_feat.shape[0]
+    wc = jnp.asarray(rng.standard_normal((T_tiles, 256, 3)), jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((T_tiles, 256)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((T_tiles, 256)), jnp.float32)
+
+    def loss(tf, use_pallas):
+        out = blend.blend_tiles_fused(
+            tf, tile_gidx, bins.tile_counts, origins,
+            st.opaque_threshold, st.T_threshold, use_pallas, use_pallas)
+        return (jnp.sum(out.color * wc) + jnp.sum(out.depth * wd)
+                + jnp.sum(out.T_final * wt))
+
+    v_x, g_x = jax.value_and_grad(lambda tf: loss(tf, False))(tile_feat)
+    v_p, g_p = jax.value_and_grad(lambda tf: loss(tf, True))(tile_feat)
+    assert np.isclose(float(v_x), float(v_p), rtol=1e-5, atol=1e-5)
+    a, b = np.asarray(g_x), np.asarray(g_p)
+    assert np.isfinite(b).all()
+    scale = max(np.abs(a).max(), 1e-3)
+    assert np.allclose(a, b, atol=1e-4 * scale, rtol=1e-3), np.abs(a - b).max()
