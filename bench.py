@@ -67,6 +67,13 @@ def main():
     # drops far gaussians (watch detail.bin_overflow — must stay 0)
     args.block_capacity = 8192
     args.tile_capacity = 2048
+    # stretch-envelope overrides (e.g. BENCH_MAP_CAPACITY=131072 for the
+    # >=128k-slot validation run; see README scale table)
+    for attr, env in (("map_capacity", "BENCH_MAP_CAPACITY"),
+                      ("temp_capacity", "BENCH_TEMP_CAPACITY"),
+                      ("tile_capacity", "BENCH_TILE_CAPACITY")):
+        if env in os.environ:
+            setattr(args, attr, int(os.environ[env]))
     args.max_visible = args.map_capacity // 2
     opt = OptimizationParams().extract(args)
 

@@ -42,6 +42,10 @@ class LoopCloser:
                                         getattr(args, "icp_fail_threshold", 5e-5)))
         self.min_valid_depth = 0.05   # reject views with no geometry
         self.cooldown = int(getattr(args, "loop_cooldown", 20))
+        # relocalization accepts a looser residual than loop closure: the
+        # seed pose is already known-bad, convergence basin matters more
+        self.reloc_accept = float(getattr(args, "reloc_p2p_accept",
+                                          4.0 * self.p2p_accept))
 
         self.downscales = list(args.icp_downscales)
         self.iters = list(args.icp_downscale_iters)
@@ -96,6 +100,33 @@ class LoopCloser:
                 continue
             best, best_d = old, d
         return best
+
+    def relocalize(self, frame_id: int, c2w_guess: np.ndarray,
+                   depth_map, K, max_candidates: int = 3) -> Optional[np.ndarray]:
+        """Recover the camera pose after a tracking failure by ICP-aligning
+        the current depth against the nearest stored keyframes.
+
+        The reference recovers through ORB-SLAM2's DBoW2 relocalization
+        (``track_with_orb_feature`` falling back to feature matching,
+        reference tracker.py:236-244 + ORB-SLAM2 Tracking::Relocalization);
+        here candidates come from estimated-center proximity to the last
+        good pose and verification is geometric.  Returns the corrected c2w
+        or None if no candidate aligns within ``reloc_accept``."""
+        depth_np = np.asarray(depth_map, np.float32)
+        if (depth_np > 0).mean() < self.min_valid_depth:
+            return None
+        c = np.asarray(c2w_guess, np.float64)[:3, 3]
+        cands = sorted(
+            (r for r in self.records if r["valid"] >= self.min_valid_depth),
+            key=lambda r: np.linalg.norm(r["c2w"][:3, 3] - c))
+        rec = {"id": frame_id, "c2w": np.asarray(c2w_guess, np.float64),
+               "depth": depth_np}
+        best_pose, best_p2p = None, np.inf
+        for cand in cands[:max_candidates]:
+            T_ij, p2p = self._verify(cand, rec, K)
+            if p2p <= self.reloc_accept and p2p < best_p2p:
+                best_pose, best_p2p = cand["c2w"] @ T_ij, p2p
+        return best_pose
 
     def _verify(self, cand, rec, K) -> Tuple[np.ndarray, float]:
         """ICP-align current depth (t1) against the candidate's (t0), seeded

@@ -257,6 +257,18 @@ class Tracker:
             pose_t1_w = np.eye(4)
         else:
             pose_t1_t0, success = self.icp.predict_pose()
+            if not success and self.loop_closer is not None:
+                # relocalize against stored keyframes (reference recovers
+                # through ORB-SLAM2 feature relocalization, tracker.py:236-244)
+                guess = self.pose_es[-1] @ np.asarray(pose_t1_t0)
+                reloc = self.loop_closer.relocalize(
+                    self.curr_frame["frame_id"], guess,
+                    frame_map["depth_map"], self.K)
+                if reloc is not None:
+                    pose_t1_t0 = np.linalg.inv(self.pose_es[-1]) @ reloc
+                    success = True
+                    self.status["relocalized"] = \
+                        int(self.status.get("relocalized", 0)) + 1
             if self.use_orb_backend:
                 pose_t1_w = self._refine_with_backend(pose_t1_t0, success)
             else:

@@ -151,6 +151,55 @@ def test_tracker_loop_closure_drops_ate(base_args):
     assert ate_closed < 0.7 * ate_open, (ate_open, ate_closed)
 
 
+def test_relocalization_recovers_from_icp_failure(base_args):
+    """When predict_pose reports failure, the tracker relocalizes against
+    stored keyframe depths (reference: ORB-SLAM2 feature relocalization,
+    tracker.py:236-244) instead of propagating the bad estimate."""
+    import copy as copy_mod
+
+    from rtgslam_tpu.data.synthetic import make_cameras
+    from rtgslam_tpu.slam import Tracker
+
+    # stride the orbit so one frame of held pose costs ~1.4 cm — large
+    # enough that relocalization visibly beats the coast-on-previous-pose
+    # fallback (at stride 1 the orbit moves ~3 mm/frame and holding the
+    # previous pose is already near-optimal)
+    cams = make_cameras(n_frames=24, H=96, W=128)[::3]
+    fail_at = 5
+
+    def run(use_reloc):
+        args = copy_mod.deepcopy(base_args)
+        args.use_gt_pose = False
+        args.use_orb_backend = True
+        args.icp_use_model_depth = False
+        args.use_loop_closure = use_reloc
+        args.loop_check_every = 1
+        args.loop_min_gap = 10 ** 6      # disable loop *closure*; keep records
+        tracker = Tracker(args, orb_backend=FakePoseBackend())
+        tracker.orb_backend.initialize(True)
+        real_predict = tracker.icp.predict_pose
+        for i, cam in enumerate(cams):
+            if i == fail_at:
+                # simulate an ICP breakdown: garbage pose, success=False
+                tracker.icp.predict_pose = \
+                    lambda: (np.eye(4, dtype=np.float32), False)
+            else:
+                tracker.icp.predict_pose = real_predict
+            fm = tracker.map_preprocess(cam, i)
+            tracker.tracking(cam, fm)
+        return tracker
+
+    t_off = run(use_reloc=False)
+    t_on = run(use_reloc=True)
+    assert t_on.status.get("relocalized", 0) == 1
+    err_off = np.linalg.norm(
+        t_off.pose_es[fail_at][:3, 3] - t_off.pose_gt[fail_at][:3, 3])
+    err_on = np.linalg.norm(
+        t_on.pose_es[fail_at][:3, 3] - t_on.pose_gt[fail_at][:3, 3])
+    assert err_on < 0.5 * err_off, (err_on, err_off)
+    assert err_on < 0.01, err_on  # recovered to within 1 cm
+
+
 def test_update_poses_propagates_correction(base_args, synthetic_cams):
     """After a closure, mapper.update_poses must re-pose its frame memory and
     keyframes to the corrected trajectory and keep rendering consistent."""
