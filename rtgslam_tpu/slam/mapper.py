@@ -280,18 +280,37 @@ class Mapper:
     # ------------------------------------------------------------------
     # keyframes
     # ------------------------------------------------------------------
+    def _keyframe_predicate(self, frame: Camera) -> bool:
+        """Pure host pose math half of the keyframe test (mapper.py:336-368).
+        Split out so ``mapping`` can start the D2H offload *before* any
+        mapping work is enqueued (the tunneled device serializes fetches
+        behind queued chains; a blocking ``np.asarray`` after the spawn
+        chain was measured at 30 s/keyframe on the 220-frame run)."""
+        if self.time == 0:
+            return True
+        prev = self.keyframe_list[-1]["frame"]
+        _, theta_diff = rot_compare(prev.R.T, frame.R.T)
+        _, l2_diff = trans_compare(prev.T, frame.T)
+        return (theta_diff > self.keyframe_theta_thes
+                or l2_diff > self.keyframe_trans_thes)
+
+    def prefetch_keyframe_maps(self, frame: Camera) -> None:
+        """If this frame will become a keyframe, start the async D2H copy of
+        its tracker-produced maps now, while the device queue is empty."""
+        if not self._keyframe_predicate(frame):
+            return
+        for key in ("color_map", "depth_map", "normal_map_w"):
+            arr = self.frame_map.get(key)
+            if hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
+
     def check_keyframe(self, frame: Camera, frame_id: int) -> bool:
         """Rotation/translation-threshold keyframing (mapper.py:336-368).
         The host-RAM map offload only happens for frames that actually
         become keyframes (the check itself is pure host pose math)."""
         is_first = self.time == 0
-        if not is_first:
-            prev = self.keyframe_list[-1]["frame"]
-            _, theta_diff = rot_compare(prev.R.T, frame.R.T)
-            _, l2_diff = trans_compare(prev.T, frame.T)
-            if theta_diff <= self.keyframe_theta_thes \
-                    and l2_diff <= self.keyframe_trans_thes:
-                return False
+        if not self._keyframe_predicate(frame):
+            return False
         fm = self.frame_map
         _t0 = time_mod.perf_counter()
         keymap = {
@@ -582,6 +601,8 @@ class Mapper:
         self.frame_map = frame_map
         optimize_frame = ((self.time + 1) % self.gaussian_update_frame == 0
                           or self.time == 0)
+        if optimize_frame:
+            self.prefetch_keyframe_maps(frame)
         if not optimize_frame:
             # no host decision between spawn and lifecycle on these frames:
             # run both as ONE device call (map_ops.frame_chain)

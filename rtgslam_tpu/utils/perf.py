@@ -22,7 +22,7 @@ from contextlib import contextmanager
 
 ENABLED = bool(int(os.environ.get("RTG_PERF", "0")))
 
-_stats = defaultdict(lambda: [0, 0.0])  # name -> [count, total_s]
+_stats = defaultdict(list)  # name -> [dt, dt, ...] seconds
 
 
 @contextmanager
@@ -34,24 +34,27 @@ def span(name: str):
     try:
         yield
     finally:
-        s = _stats[name]
-        s[0] += 1
-        s[1] += time.perf_counter() - t0
+        _stats[name].append(time.perf_counter() - t0)
 
 
 def count(name: str, dt: float = 0.0) -> None:
     if ENABLED:
-        s = _stats[name]
-        s[0] += 1
-        s[1] += dt
+        _stats[name].append(dt)
 
 
 def report() -> dict:
-    return {
-        k: {"count": v[0], "total_s": round(v[1], 4),
-            "mean_ms": round(v[1] / v[0] * 1e3, 3) if v[0] else 0.0}
-        for k, v in sorted(_stats.items())
-    }
+    """Per-span count / total / mean / MEDIAN.  The tunnel wedges for
+    30-60 s sporadically (CLAUDE.md), so medians carry the signal; means
+    are kept for the reference's accounting rule."""
+    out = {}
+    for k, v in sorted(_stats.items()):
+        n = len(v)
+        sv = sorted(v)
+        med = sv[n // 2] if n % 2 else 0.5 * (sv[n // 2 - 1] + sv[n // 2])
+        out[k] = {"count": n, "total_s": round(sum(v), 4),
+                  "mean_ms": round(sum(v) / n * 1e3, 3) if n else 0.0,
+                  "median_ms": round(med * 1e3, 3) if n else 0.0}
+    return out
 
 
 def reset() -> None:
