@@ -581,6 +581,44 @@ def frame_chain(
     return state, n_inserted, model_out, out, hwm, n_stable
 
 
+# ---------------------------------------------------------------------------
+# Donated twins (mapper-facing).
+#
+# The map is one fixed-capacity SoA (~capacity x 60 f32); every chain above
+# rewrites it by masked scatter.  Without input/output aliasing XLA must
+# materialise a full copy of each updated field per call (copy-on-write),
+# costing HBM bandwidth and 2x peak memory for the state.  These twins donate
+# the state so the scatters run in place.  Contract: the caller must DROP its
+# reference to the passed state — the mapper reassigns ``self.state`` at every
+# call site.  The value-semantics originals above stay for tests and any
+# caller that still needs the old state (e.g. test_parallel feeds one state to
+# two implementations).  The pipelined system's tracker snapshot copies
+# ``state.xyz`` before publishing (system.py) so donation can never invalidate
+# a cross-thread reference.
+# ---------------------------------------------------------------------------
+_DONATE = {"donate_argnames": ("state",)}
+
+spawn_chain_donated = partial(
+    jax.jit, static_argnames=(
+        "config", "max_each", "height", "width", "first_frame", "has_stable",
+        "ref_limit", "settings"), **_DONATE)(spawn_chain.__wrapped__)
+
+lifecycle_chain_donated = partial(
+    jax.jit, static_argnames=("num_gaussians", "settings"),
+    **_DONATE)(lifecycle_chain.__wrapped__)
+
+frame_chain_donated = partial(
+    jax.jit, static_argnames=(
+        "config", "max_each", "height", "width", "has_stable",
+        "ref_limit", "settings"), **_DONATE)(frame_chain.__wrapped__)
+
+fix_all_donated = partial(jax.jit, **_DONATE)(fix_all.__wrapped__)
+
+delete_gaussians_donated = partial(
+    jax.jit, static_argnames=("unstable",), **_DONATE)(
+    delete_gaussians.__wrapped__)
+
+
 def capture_history(state: MapState) -> Dict[str, jnp.ndarray]:
     """Snapshot the merge-relevant parameters before optimization
     (mapper.py:146-155)."""

@@ -249,3 +249,14 @@ def optimize_chain(
     if local:
         state = history_merge(state, hist, max_weight, unstable_mask(state))
     return state, report
+
+
+# Mapper-facing twin donating the map state: the 50-300-iteration Adam loop
+# rewrites every parameter field each call, so aliasing input to output saves
+# a full SoA copy + 2x peak HBM (see map_ops.py donated-twins note for the
+# caller contract).
+optimize_chain_donated = partial(
+    jax.jit, static_argnames=(
+        "settings", "mode", "sample_ratio", "mask_depth_positive",
+        "max_weight"),
+    donate_argnames=("state",))(optimize_chain.__wrapped__)

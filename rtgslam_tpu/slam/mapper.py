@@ -20,6 +20,7 @@ them and keeps the host-side bookkeeping (keyframes, recorder, checkpoints).
 from __future__ import annotations
 
 import os
+import threading
 import time as time_mod
 from collections import deque
 from typing import Dict, List, Optional
@@ -43,6 +44,10 @@ from ..utils import perf
 
 
 class Mapper:
+    # starting KNN reference-scan bucket; doubles as occupancy grows
+    # (class attr so tests can shrink it to exercise bucket crossings)
+    REF_LIMIT_FLOOR = 4096
+
     def __init__(self, args: GroupParams, recorder=None):
         self.args = args
         self.config = GaussianMapConfig.from_args(args)
@@ -107,6 +112,9 @@ class Mapper:
         self.rng = np.random.default_rng(2024)
         self.max_spawn = self.config.temp_capacity // 2
         self._cached_render = None
+        # ref_limit buckets already compiled (or being compiled) ahead of
+        # need — see _maybe_prewarm_bucket
+        self._warmed_buckets = set()
         self._cached_render_key = None
 
         # optional tensorboard scalars (reference mapper.py:928-931,968-980)
@@ -215,14 +223,14 @@ class Mapper:
         hwm = self._cached_hwm()
         has_stable = self._cached_stable_num() > 0
         perf.count("map.counter_fetch", time_mod.perf_counter() - _t0)
-        ref_limit = 4096
+        ref_limit = self.REF_LIMIT_FLOOR
         while ref_limit < hwm:
             ref_limit *= 2
         ref_limit = min(ref_limit, self.config.capacity)
 
         cam = frame.device_dict()
         _t0 = time_mod.perf_counter()
-        self.state, n_inserted, model_out = map_ops.spawn_chain(
+        args = (
             self._next_key(), self.state,
             fm["vertex_map_w"], fm["normal_map_w"], fm["color_map"],
             fm["depth_map"],
@@ -233,11 +241,52 @@ class Mapper:
             self.add_depth_thres, self.add_color_thres,
             self.config, self.max_spawn, self.H, self.W,
             first_frame, has_stable, ref_limit, self.settings)
+        self._maybe_prewarm_bucket(map_ops.spawn_chain_donated, args,
+                                   len(args) - 2, ref_limit, hwm, "spawn")
+        self.state, n_inserted, model_out = map_ops.spawn_chain_donated(*args)
         perf.count("map.spawn_chain", time_mod.perf_counter() - _t0)
         if model_out is not None:
             self._set_model_map(model_out)
         if self.verbose:
             print(f"add new gaussian num: {int(n_inserted)}")
+
+    @staticmethod
+    def _aval_spec(x):
+        """Array -> ShapeDtypeStruct (so the prewarm thread never holds a
+        reference to a donated buffer); everything else passes through and
+        retraces exactly like the real call (python scalars, statics)."""
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return x
+
+    def _maybe_prewarm_bucket(self, fn, args: tuple, ref_limit_pos: int,
+                              ref_limit: int, hwm: int, tag: str) -> None:
+        """The KNN reference-scan bound is bucketed to powers of two so the
+        static-shape executables stay cacheable; the price is an XLA
+        recompile the frame the high-water mark crosses a bucket (minutes on
+        first encounter — the dominant stall in the 220-frame trace, see
+        PERF.md).  When occupancy passes 3/4 of the current bucket, compile
+        the NEXT bucket's executable in a daemon thread: XLA compilation is
+        host-side C++ (GIL released) and overlaps device execution, so the
+        crossing frame finds a warm cache instead of stalling."""
+        nxt = ref_limit * 2
+        if hwm * 4 <= ref_limit * 3 or nxt > self.config.capacity:
+            return
+        key = (tag, nxt, args[-3])   # has_stable is part of the trace
+        if key in self._warmed_buckets:
+            return
+        self._warmed_buckets.add(key)
+        specs = [self._aval_spec(a) for a in args]
+        specs[ref_limit_pos] = nxt
+
+        def warm():
+            try:
+                fn.lower(*specs).compile()
+            except Exception:   # pragma: no cover - warmup is best-effort
+                pass
+
+        threading.Thread(target=warm, daemon=True,
+                         name=f"prewarm-{tag}-{nxt}").start()
 
     def _mapping_fused_frame(self, frame: Camera):
         """Non-optimize frame: spawn + lifecycle as ONE device call
@@ -248,15 +297,14 @@ class Mapper:
         hwm = self._cached_hwm()
         has_stable = self._cached_stable_num() > 0
         perf.count("map.counter_fetch", time_mod.perf_counter() - _t0)
-        ref_limit = 4096
+        ref_limit = self.REF_LIMIT_FLOOR
         while ref_limit < hwm:
             ref_limit *= 2
         ref_limit = min(ref_limit, self.config.capacity)
 
         cam = frame.device_dict()
         _t0 = time_mod.perf_counter()
-        (self.state, n_inserted, model_out, out,
-         self._hwm_dev, self._stable_dev) = map_ops.frame_chain(
+        args = (
             self._next_key(), self.state,
             fm["vertex_map_w"], fm["normal_map_w"], fm["color_map"],
             fm["depth_map"],
@@ -268,6 +316,10 @@ class Mapper:
             self.stable_confidence_thres, self.unstable_time_window,
             self.config, self.max_spawn, self.H, self.W,
             has_stable, ref_limit, self.settings)
+        self._maybe_prewarm_bucket(map_ops.frame_chain_donated, args,
+                                   len(args) - 2, ref_limit, hwm, "frame")
+        (self.state, n_inserted, model_out, out,
+         self._hwm_dev, self._stable_dev) = map_ops.frame_chain_donated(*args)
         perf.count("map.frame_chain", time_mod.perf_counter() - _t0)
         self._prefetch_counters()
         if model_out is not None:
@@ -433,7 +485,7 @@ class Mapper:
         seq = self.rng.integers(0, n_actual, size=n_iters)
         seq[n_iters // 2 + 1:] = n_actual - 1  # late iters focus the newest frame
         _t0 = time_mod.perf_counter()
-        self.state, report = optimize.optimize_chain(
+        self.state, report = optimize.optimize_chain_donated(
             self.state, *self._stack_entries(entries),
             jnp.asarray(seq, jnp.int32), n_iters,
             self._lrs(opt), self._weights(opt), self.settings,
@@ -451,7 +503,7 @@ class Mapper:
         keyframes with all gaussians fixed (mapper.py:594-712)."""
         is_final = select_keyframe_num == -1
         if is_final:
-            self.state = map_ops.fix_all(self.state)
+            self.state = map_ops.fix_all_donated(self.state)
             if self.get_stable_num == 0:     # exact count, once per run
                 return None
         elif self._cached_stable_num() == 0:
@@ -518,7 +570,7 @@ class Mapper:
                 n_iters = self.gaussian_update_iter
                 seq = self.rng.integers(0, n_actual, size=n_iters)
                 seq[n_iters // 2 + 1:] = n_actual - 1
-                self.state, report = optimize.optimize_chain(
+                self.state, report = optimize.optimize_chain_donated(
                     self.state, *self._stack_entries(entries),
                     jnp.asarray(seq, jnp.int32), n_iters, lrs, weights,
                     self.settings, mode="global", sample_ratio=sample_ratio,
@@ -532,7 +584,7 @@ class Mapper:
                 entry = make_entry(selected[int(kf_idx)])
                 n_iters = self.final_global_iter
                 seq = np.zeros(n_iters, np.int64)
-                self.state, report = optimize.optimize_chain(
+                self.state, report = optimize.optimize_chain_donated(
                     self.state, *self._stack_entries([entry]),
                     jnp.asarray(seq, jnp.int32), n_iters, lrs, weights,
                     self.settings, mode="global", sample_ratio=-1.0,
@@ -549,7 +601,7 @@ class Mapper:
         if not self.processed_frames:
             self.state = map_ops.fix_confident(
                 self.state, self.stable_confidence_thres)
-            self.state = map_ops.delete_gaussians(
+            self.state = map_ops.delete_gaussians_donated(
                 self.state, self.time, self.unstable_time_window, unstable=True)
             self._refresh_counters()
             return
@@ -557,7 +609,7 @@ class Mapper:
         cd = rec["cam_dev"]
         fm = rec["frame_map"]
         _t0 = time_mod.perf_counter()
-        self.state, out, self._hwm_dev, self._stable_dev = map_ops.lifecycle_chain(
+        self.state, out, self._hwm_dev, self._stable_dev = map_ops.lifecycle_chain_donated(
             self.state,
             jnp.asarray(cd["w2c"]), jnp.asarray(cd["K"]), jnp.asarray(cd["campos"]),
             fm["color_map"], fm["depth_map"],
@@ -633,7 +685,7 @@ class Mapper:
             else:
                 self.global_optimization(
                     opt, select_keyframe_num=self.global_keyframe_num)
-            self.state = map_ops.delete_gaussians(
+            self.state = map_ops.delete_gaussians_donated(
                 self.state, self.time, self.unstable_time_window, unstable=False)
 
         self.lifecycle()

@@ -124,9 +124,14 @@ class SLAM:
                 # through mp queues instead, mapper.py:1211-1220)
                 from ..models.gaussian_map import alive_mask, render_inputs
 
+                gauss = render_inputs(self.mapper.state,
+                                      alive_mask(self.mapper.state))
+                # render_inputs aliases state.xyz; the mapper's chains donate
+                # the state (map_ops donated twins), which would invalidate
+                # that buffer under the tracker — snapshot a private copy
+                gauss["xyz"] = gauss["xyz"].copy()
                 self._m2t.put({
-                    "gauss": render_inputs(self.mapper.state,
-                                           alive_mask(self.mapper.state)),
+                    "gauss": gauss,
                     "frame_id": frame_id,
                 })
                 with self._mapper_caught_up:

@@ -136,3 +136,29 @@ def test_radius_derivation():
         jnp.log(jnp.asarray([0.04, 0.02, 0.004]))))
     r = float(gaussian_radius(state.scaling)[0])
     assert np.isclose(r, (0.04 + 0.02) / 2, atol=1e-5)
+
+
+def test_donated_twins_match_value_semantics():
+    """The mapper-facing donated twins (map_ops.*_donated) must produce the
+    exact state the value-semantics originals do; donation only changes
+    buffer aliasing, never values."""
+    import jax
+
+    state = MapState.create(CFG)
+    temp = make_temp(12)
+    state, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, CFG)
+    state = state.replace(confidence=state.confidence.at[:3, 0].set(99.0))
+
+    ref = map_ops.fix_all(state)
+    ref = map_ops.delete_gaussians(ref, 10, unstable_time_window=1000,
+                                   unstable=True)
+
+    copy = jax.tree.map(lambda x: x.copy(), state)
+    got = map_ops.fix_all_donated(copy)
+    got = map_ops.delete_gaussians_donated(
+        got, 10, unstable_time_window=1000, unstable=True)
+
+    for field in ("status", "xyz", "scaling", "rotation", "opacity",
+                  "confidence"):
+        assert np.array_equal(np.asarray(getattr(ref, field)),
+                              np.asarray(getattr(got, field))), field

@@ -136,3 +136,32 @@ def test_fake_pose_backend_roundtrip():
     poses, stamps = convert_poses(b.get_trajectory_points())
     assert len(poses) == 3
     assert np.allclose(poses[-1][:3, 3], [0.02, 0, 0], atol=1e-6)
+
+
+def test_ref_limit_bucket_prewarm(base_args, synthetic_cams):
+    """When map occupancy passes 3/4 of the current KNN ref_limit bucket,
+    the mapper must prewarm the next bucket's executable in the background
+    (so the crossing frame never stalls on an XLA compile) and keep
+    producing valid frames through the crossing."""
+    import copy
+    import threading as _threading
+
+    args = copy.deepcopy(base_args)
+    args.use_gt_pose = True
+    opt = OptimizationParams().extract(args)
+
+    tracker = Tracker(args)
+    mapper = Mapper(args)
+    mapper.REF_LIMIT_FLOOR = 64   # tiny floor so a short run crosses buckets
+    for i, cam in enumerate(synthetic_cams[:4]):
+        fm = tracker.map_preprocess(cam, i)
+        tracker.tracking(cam, fm)
+        mapper.mapping(cam, fm, i, opt)
+        mapper.time += 1
+    # frame 0 spawns ~uniform_sample_num points >> 64, so every later frame
+    # sees hwm past the 3/4 threshold of some bucket and prewarms the next
+    assert mapper._warmed_buckets, "no bucket was prewarmed"
+    for t in _threading.enumerate():
+        if t.name.startswith("prewarm-"):
+            t.join(timeout=120)
+    assert mapper.get_unstable_num + mapper.get_stable_num > 0
