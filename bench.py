@@ -64,14 +64,19 @@ def main():
     args.map_capacity = max(16384, 1 << int(np.ceil(np.log2(400_000 * scale))))
     args.temp_capacity = max(4096, 1 << int(np.ceil(np.log2(65_000 * scale))))
     # per-tile capacity must cover the densest tile; undersizing silently
-    # drops far gaussians (watch detail.bin_overflow — must stay 0)
-    args.block_capacity = 8192
-    args.tile_capacity = 2048
+    # drops far gaussians (watch detail.bin_overflow — must stay 0).
+    # 512 measured: bin_overflow 0 across the 220-frame stretch run AND
+    # ~17 ms/render cheaper than 2048 on this device (the blend's eager
+    # per-tile gather + batched-while trip count scale with this capacity;
+    # see PERF.md attribution table)
+    args.block_capacity = 4096     # same measurement: 0 overflow, -8 ms/render vs 8192
+    args.tile_capacity = 512
     # stretch-envelope overrides (e.g. BENCH_MAP_CAPACITY=131072 for the
     # >=128k-slot validation run; see README scale table)
     for attr, env in (("map_capacity", "BENCH_MAP_CAPACITY"),
                       ("temp_capacity", "BENCH_TEMP_CAPACITY"),
-                      ("tile_capacity", "BENCH_TILE_CAPACITY")):
+                      ("tile_capacity", "BENCH_TILE_CAPACITY"),
+                      ("block_capacity", "BENCH_BLOCK_CAPACITY")):
         if env in os.environ:
             setattr(args, attr, int(os.environ[env]))
     args.max_visible = args.map_capacity // 2

@@ -256,3 +256,25 @@ def test_overflow_reported_when_capacity_undersized():
     out_big = render(g, cam, big)
     assert int(out_small["overflow"]) > 0
     assert int(out_big["overflow"]) == 0
+
+
+def test_capacity_invariance_when_no_overflow():
+    """Renders must be bit-identical across block/tile/max_visible capacity
+    choices whenever bin_overflow == 0 — the invariant that lets bench.py
+    and configs size static capacities to the workload (capacity is a cost
+    knob, never a semantics knob; PERF.md 'static-capacity sizing')."""
+    import dataclasses
+
+    g, cam, st = make_scene(P=128, n_alive=40, seed=3)
+    base = render(g, cam, st)
+    assert int(base["overflow"]) == 0
+    for kwargs in ({"tile_capacity": 128}, {"block_capacity": 128},
+                   {"max_visible": 64},
+                   {"block_capacity": 64, "tile_capacity": 64}):
+        st2 = dataclasses.replace(st, **kwargs)
+        out = render(g, cam, st2)
+        assert int(out["overflow"]) == 0, kwargs
+        for k in ("render", "depth", "depth_index_map", "T_map"):
+            np.testing.assert_array_equal(
+                np.asarray(base[k]), np.asarray(out[k]),
+                err_msg=f"{k} differs at {kwargs}")
