@@ -174,6 +174,9 @@ def main_with_retries(attempts: int = 3, cooldown_s: int = 240) -> int:
 
 if __name__ == "__main__":
     if "--inner" in sys.argv:
-        main()
+        from rtgslam_tpu.utils import perf
+
+        with perf.device_trace():   # RTG_TRACE=<dir> -> jax.profiler trace
+            main()
     else:
         sys.exit(main_with_retries())

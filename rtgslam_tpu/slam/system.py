@@ -12,6 +12,15 @@ preserved (``system.py:19-24``, ``tracker.py:469-487``):
           the mapper catches up;
   loose   tracker may run ahead by at most that many frames;
   free    no synchronization.
+
+``device_list`` (reference ``configs/base.yaml:3``, there a
+``CUDA_VISIBLE_DEVICES`` selector) extends to true pipeline parallelism
+over chips: with two entries the mapper runs on ``devices[device_list[0]]``
+and the tracker on ``devices[device_list[1]]`` (reference rank order,
+``system.py:49-54``), each thread pinning placement via
+``jax.default_device``; the per-frame maps and the map snapshots are the
+only arrays that cross chips (one ``device_put`` each way per frame — ICI
+on a real slice).
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ import threading
 import time
 from typing import Optional
 
+import jax
 import numpy as np
 
 from ..config.loader import GroupParams
@@ -51,8 +61,21 @@ class SLAM:
         self._errors: list = []
         self._track_settings = None
 
+        # chip placement: mapper = device_list[0], tracker = device_list[1]
+        # (single entry -> both share one device, the round-1 behavior)
+        devs = jax.devices()
+        dl = list(getattr(args, "device_list", None) or [0])
+        self.mapper_device = devs[dl[0] % len(devs)]
+        self.tracker_device = (devs[dl[1] % len(devs)]
+                               if len(dl) > 1 else self.mapper_device)
+        self.two_device = self.mapper_device != self.tracker_device
+
     # ------------------------------------------------------------------
     def _tracking_loop(self):
+        with jax.default_device(self.tracker_device):
+            self._tracking_loop_impl()
+
+    def _tracking_loop_impl(self):
         try:
             infos = self.dataset.scene_info.train_cameras
             from ..config import DatasetParams
@@ -89,6 +112,11 @@ class SLAM:
                 if snapshot is not None:
                     from ..ops.rasterize import RasterSettings, render
 
+                    if self.two_device:
+                        # map snapshot crosses mapper -> tracker chip (ICI)
+                        snapshot["gauss"] = jax.device_put(
+                            snapshot["gauss"], self.tracker_device)
+
                     if self._track_settings is None:
                         self._track_settings = RasterSettings.from_args(
                             self.args, frame.image_height, frame.image_width)
@@ -107,6 +135,10 @@ class SLAM:
             self._t2m.put(None)
 
     def _mapping_loop(self):
+        with jax.default_device(self.mapper_device):
+            self._mapping_loop_impl()
+
+    def _mapping_loop_impl(self):
         try:
             while True:
                 item = self._t2m.get()
@@ -114,6 +146,9 @@ class SLAM:
                     break
                 frame, frame_map, frame_id, new_poses = item
                 start = time.time()
+                if self.two_device:
+                    # per-frame maps cross tracker -> mapper chip (ICI)
+                    frame_map = jax.device_put(frame_map, self.mapper_device)
                 self.mapper.update_poses(new_poses)
                 self.mapper.mapping(frame, frame_map, frame_id,
                                     self.optimization_params)
@@ -147,6 +182,11 @@ class SLAM:
 
     # ------------------------------------------------------------------
     def run(self):
+        if self.two_device:
+            # the map SoA was created on the default device at construction;
+            # commit it to the mapper's chip before the threads start
+            self.mapper.state = jax.device_put(self.mapper.state,
+                                               self.mapper_device)
         mapper_thread = threading.Thread(target=self._mapping_loop, name="mapper")
         tracker_thread = threading.Thread(target=self._tracking_loop, name="tracker")
         mapper_thread.start()

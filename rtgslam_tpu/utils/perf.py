@@ -61,6 +61,34 @@ def reset() -> None:
     _stats.clear()
 
 
+@contextmanager
+def device_trace():
+    """Optional XLA-level trace: ``RTG_TRACE=<dir>`` wraps the run in
+    ``jax.profiler.trace`` (TensorBoard/xprof-readable).  Complements the
+    host spans above with per-executable timelines; degrades to a warning
+    if the backend's profiler is unavailable.  No-op when unset."""
+    trace_dir = os.environ.get("RTG_TRACE", "")
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    try:
+        jax.profiler.start_trace(trace_dir)
+        started = True
+    except Exception as e:       # pragma: no cover - profiler availability
+        print(f"[perf] jax.profiler trace unavailable: {e}")
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:   # pragma: no cover
+                print(f"[perf] jax.profiler stop failed: {e}")
+
+
 def dump(path: str) -> None:
     with open(path, "w") as f:
         json.dump(report(), f, indent=2)

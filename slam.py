@@ -118,4 +118,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from rtgslam_tpu.utils import perf
+
+    with perf.device_trace():   # RTG_TRACE=<dir> -> jax.profiler trace
+        main()
