@@ -185,11 +185,20 @@ def load_camera(args, uid: int, info: CameraInfo, resolution_scale: float = 1.0)
     # crop_edge: the reader already shrank width/height/cx/cy (TUM
     # config.yaml crop_edge; reference dataset_readers.py:600-612 crops the
     # decoded arrays) — recover the per-side margin from the shape delta so
-    # pixels and intrinsics agree.
-    crop = (image.shape[0] - info.height) // 2
-    if crop > 0:
-        image = image[crop:-crop, crop:-crop]
-        depth = depth[crop:-crop, crop:-crop]
+    # pixels and intrinsics agree.  Per-array, and only when BOTH axes carry
+    # the same even margin: a dataset whose color and depth streams have
+    # different native resolutions (e.g. Azure-Kinect 1280x720 color with
+    # 640x576 depth, where info dims are probed from depth) must not be
+    # mangled by a height-only heuristic.
+    def _maybe_crop(arr):
+        ch, cw = arr.shape[0] - info.height, arr.shape[1] - info.width
+        if ch > 0 and ch == cw and ch % 2 == 0:
+            c = ch // 2
+            return arr[c:-c, c:-c]
+        return arr
+
+    image = _maybe_crop(image)
+    depth = _maybe_crop(depth)
 
     resolution = getattr(args, "resolution", 1)
     scale = resolution * resolution_scale if resolution in (1, 2, 4, 8) else resolution_scale

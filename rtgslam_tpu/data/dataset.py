@@ -285,7 +285,10 @@ _COLMAP_MODELS = {
 
 
 def _colmap_intrinsics(model: str, params) -> tuple:
-    if model.startswith("SIMPLE_") or model in ("RADIAL", "RADIAL_FISHEYE", "FOV"):
+    """(fx, fy, cx, cy) from a colmap camera row.  Single-focal models lead
+    with (f, cx, cy, ...); every other model — including FOV, whose params
+    are (fx, fy, cx, cy, omega) — leads with (fx, fy, cx, cy, ...)."""
+    if model.startswith("SIMPLE_") or model in ("RADIAL", "RADIAL_FISHEYE"):
         return params[0], params[0], params[1], params[2]
     return params[0], params[1], params[2], params[3]
 

@@ -56,6 +56,12 @@ class LoopCloser:
             np.cos(np.deg2rad(args.icp_normal_threshold)))
         self.association = str(getattr(args, "icp_association", "bilinear"))
 
+        # bound host RAM: records hold a full-res f32 depth map each
+        # (~3.3 MB at 680x1200).  When the cap is hit the store is thinned
+        # to every other record and the sampling stride doubles — coverage
+        # of the whole trajectory is preserved at half the density, the way
+        # the reference bounds keyframes via its CPU-offload window.
+        self.max_records = int(getattr(args, "loop_max_records", 256))
         self.records: List[Dict] = []
         self._last_closure = -(10 ** 9)
 
@@ -80,7 +86,23 @@ class LoopCloser:
                     self._last_closure = frame_id
                     result = (cand["id"], frame_id, T_ij)
         self.records.append(rec)
+        if len(self.records) > self.max_records:
+            self.records = self.records[::2]
+            self.every *= 2
         return result
+
+    # ------------------------------------------------------------------
+    def update_poses(self, corrected: List[np.ndarray]) -> None:
+        """Re-anchor stored records after a pose-graph relaxation.
+
+        The tracker adopts the relaxed trajectory (``pose_es = corrected``);
+        records frozen at observation time would otherwise keep the drifted
+        estimates, and a later ``relocalize`` would re-inject exactly the
+        drift the closure removed."""
+        n = len(corrected)
+        for rec in self.records:
+            if rec["id"] < n:
+                rec["c2w"] = np.asarray(corrected[rec["id"]], np.float64)
 
     # ------------------------------------------------------------------
     def _best_candidate(self, rec) -> Optional[Dict]:

@@ -551,9 +551,12 @@ class Mapper:
             entries = [make_entry(kf) for kf in selected]
             n_actual = len(entries)
             _t0 = time_mod.perf_counter()
-            if self.mesh is not None:
+            if self.mesh is not None and self.dataset_type != "Scannetpp":
                 # frame-parallel over the mesh: one keyframe per device,
-                # pmean'd gradients (parallel/sharded.py)
+                # pmean'd gradients (parallel/sharded.py).  ScanNet++ needs
+                # the depth>0 render mask (reference mapper.py:419-420),
+                # which dp_global_optimize does not thread yet — that
+                # dataset falls through to the single-chip chain.
                 from ..parallel import dp_global_optimize
 
                 n_dev = self.mesh.devices.size
@@ -574,7 +577,8 @@ class Mapper:
                     self.state, *self._stack_entries(entries),
                     jnp.asarray(seq, jnp.int32), n_iters, lrs, weights,
                     self.settings, mode="global", sample_ratio=sample_ratio,
-                    mask_depth_positive=False, max_weight=0.0)
+                    mask_depth_positive=(self.dataset_type == "Scannetpp"),
+                    max_weight=0.0)
             perf.count("map.global_optimize", time_mod.perf_counter() - _t0)
         else:
             # final sweep: shuffled keyframes, a chunk of iterations each
@@ -588,7 +592,8 @@ class Mapper:
                     self.state, *self._stack_entries([entry]),
                     jnp.asarray(seq, jnp.int32), n_iters, lrs, weights,
                     self.settings, mode="global", sample_ratio=-1.0,
-                    mask_depth_positive=False, max_weight=0.0)
+                    mask_depth_positive=(self.dataset_type == "Scannetpp"),
+                    max_weight=0.0)
         return report
 
     # ------------------------------------------------------------------

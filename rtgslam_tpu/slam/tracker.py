@@ -302,6 +302,9 @@ class Tracker:
                 if len(corrected) == len(self.pose_es):
                     self.pose_es = corrected
                     pose_t1_w = corrected[-1]
+                    # re-anchor the loop store too, or a later relocalize
+                    # would resurrect the drift this closure just removed
+                    self.loop_closer.update_poses(corrected)
                 self.status["loops_closed"] = \
                     int(self.status.get("loops_closed", 0)) + 1
 

@@ -295,3 +295,45 @@ def test_densify_export(tmp_path):
     # all samples lie near the z=1 disc plane (z-axis is the smallest scale)
     assert np.abs(pts[:, 2] - 1.0).max() < 1e-5
     assert np.linalg.norm(pts[:, :2], axis=1).max() <= 0.06
+
+
+def test_colmap_fov_camera_intrinsics():
+    """FOV model params are (fx, fy, cx, cy, omega) — two focals, not one
+    (regression: FOV was routed to the single-focal branch, shifting cx/cy)."""
+    from rtgslam_tpu.data.dataset import _colmap_intrinsics
+
+    fx, fy, cx, cy = _colmap_intrinsics(
+        "FOV", [1000.0, 990.0, 960.0, 540.0, 0.9])
+    assert (fx, fy, cx, cy) == (1000.0, 990.0, 960.0, 540.0)
+    # single-focal families keep (f, cx, cy, ...)
+    fx, fy, cx, cy = _colmap_intrinsics("SIMPLE_PINHOLE", [800.0, 320.0, 240.0])
+    assert (fx, fy, cx, cy) == (800.0, 800.0, 320.0, 240.0)
+    fx, fy, cx, cy = _colmap_intrinsics("RADIAL", [800.0, 320.0, 240.0, 0.01, 0.0])
+    assert (fx, fy, cx, cy) == (800.0, 800.0, 320.0, 240.0)
+
+
+def test_mixed_resolution_streams_not_cropped(tmp_path):
+    """A capture whose color stream is higher-resolution than its depth
+    stream (info dims probed from depth) must NOT trip the crop_edge
+    recovery — the margins are a resolution mismatch, not a crop."""
+    import cv2
+    from rtgslam_tpu.data.camera import load_camera
+    from rtgslam_tpu.data.dataset import CameraInfo
+
+    cdir = tmp_path
+    img = (np.random.default_rng(0).uniform(0, 255, (720, 1280, 3))).astype(np.uint8)
+    dep = (np.full((576, 640), 1000, np.uint16))
+    cv2.imwrite(str(cdir / "c.png"), img)
+    cv2.imwrite(str(cdir / "d.png"), dep)
+    info = CameraInfo(
+        uid=0, R=np.eye(3), T=np.zeros(3), FovX=1.0, FovY=1.0,
+        image_path=str(cdir / "c.png"), depth_path=str(cdir / "d.png"),
+        image_name="c", width=640, height=576, cx=320.0, cy=288.0,
+        timestamp=0.0, depth_scale=1000.0, pose_gt=np.eye(4))
+
+    class A:
+        resolution = 1
+
+    cam = load_camera(A(), 0, info)
+    assert cam.image.shape[:2] == (720, 1280)   # untouched
+    assert cam.depth.shape[:2] == (576, 640)    # untouched

@@ -237,3 +237,52 @@ def test_update_poses_propagates_correction(base_args, synthetic_cams):
     # the re-posed frame memory must still render (map consistency)
     out = mapper._render(mapper.processed_frames[-1]["cam_dev"], "global")
     assert np.isfinite(np.asarray(out["render"])).all()
+
+
+def test_loop_store_reanchored_after_correction(base_args):
+    """After a pose-graph relaxation the stored records must adopt the
+    corrected poses — otherwise a later relocalization would re-inject the
+    drift the closure removed."""
+    import copy
+    from rtgslam_tpu.slam.loop_closure import LoopCloser
+
+    args = copy.deepcopy(base_args)
+    lc = LoopCloser(args)
+    lc.every = 1
+    depth = np.ones((16, 16), np.float32)
+    K = np.array([[10.0, 0, 8], [0, 10.0, 8], [0, 0, 1]], np.float32)
+    drifted = []
+    for i in range(4):
+        c2w = np.eye(4)
+        c2w[0, 3] = i * 1.0 + 0.1 * i   # linear drift
+        drifted.append(c2w)
+        lc.min_gap = 10 ** 9            # never verify (pure store test)
+        lc.observe(i, c2w, depth, K)
+    corrected = [np.eye(4) for _ in range(4)]
+    for i, c in enumerate(corrected):
+        c[0, 3] = i * 1.0               # drift removed
+    lc.update_poses(corrected)
+    for rec in lc.records:
+        assert np.allclose(rec["c2w"], corrected[rec["id"]])
+
+
+def test_loop_store_bounded(base_args):
+    """The record store thins itself (and halves its sampling rate) at the
+    cap instead of growing without bound."""
+    import copy
+    from rtgslam_tpu.slam.loop_closure import LoopCloser
+
+    args = copy.deepcopy(base_args)
+    lc = LoopCloser(args)
+    lc.every = 1
+    lc.max_records = 16
+    lc.min_gap = 10 ** 9
+    depth = np.ones((8, 8), np.float32)
+    K = np.array([[10.0, 0, 4], [0, 10.0, 4], [0, 0, 1]], np.float32)
+    for i in range(200):
+        if i % lc.every == 0:
+            lc.observe(i, np.eye(4), depth, K)
+    assert len(lc.records) <= 16
+    ids = [r["id"] for r in lc.records]
+    assert ids[-1] > 150   # recent frames still represented
+    assert ids[0] < 50     # early trajectory still represented
