@@ -114,9 +114,14 @@ def dp_global_optimize(
     settings: RasterSettings,
     mesh: Mesh,
     sample_ratio: float = 0.4,
+    mask_depth_positive: bool = False,
 ):
     """Keyframe global optimization over a device mesh, complete with the
     per-keyframe partial-render masks computed ON the owning device.
+
+    ``mask_depth_positive`` restricts the loss to pixels with valid depth
+    (ScanNet++, reference mapper.py:419-420), matching the single-chip
+    ``optimize_chain`` option of the same name.
 
     The single-chip twin is ``optimize.optimize_chain(mode="global")``; here
     each device holds one keyframe, renders its own color-error tile mask
@@ -160,6 +165,8 @@ def dp_global_optimize(
         else:
             rmask = out["T_map"][..., 0] != 1.0
             tile = jnp.ones(((H + 15) // 16, (W + 15) // 16), jnp.int32)
+        if mask_depth_positive:
+            rmask = rmask & (depths[0] > 0)
         local_frame = {
             "color": gt_color, "depth": depths[0], "normal": normals[0],
             "w2c": cam_w2c, "K": cam_K, "campos": campos,

@@ -551,12 +551,9 @@ class Mapper:
             entries = [make_entry(kf) for kf in selected]
             n_actual = len(entries)
             _t0 = time_mod.perf_counter()
-            if self.mesh is not None and self.dataset_type != "Scannetpp":
+            if self.mesh is not None:
                 # frame-parallel over the mesh: one keyframe per device,
-                # pmean'd gradients (parallel/sharded.py).  ScanNet++ needs
-                # the depth>0 render mask (reference mapper.py:419-420),
-                # which dp_global_optimize does not thread yet — that
-                # dataset falls through to the single-chip chain.
+                # pmean'd gradients (parallel/sharded.py)
                 from ..parallel import dp_global_optimize
 
                 n_dev = self.mesh.devices.size
@@ -565,7 +562,8 @@ class Mapper:
                 self.state, total = dp_global_optimize(
                     self.state, *self._stack_entries(entries[:n_dev]),
                     self.gaussian_update_iter, lrs, weights, self.settings,
-                    self.mesh, sample_ratio=sample_ratio)
+                    self.mesh, sample_ratio=sample_ratio,
+                    mask_depth_positive=(self.dataset_type == "Scannetpp"))
                 report = {"total": total}
             else:
                 while len(entries) < self.global_keyframe_num:

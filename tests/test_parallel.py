@@ -103,3 +103,50 @@ def test_dp_global_optimize_matches_single_chip():
                        atol=1e-5)
     assert np.allclose(np.asarray(dp_state.opacity),
                        np.asarray(ref_state.opacity), atol=1e-5)
+
+
+def test_dp_global_optimize_depth_mask_matches_single_chip():
+    """mask_depth_positive (ScanNet++ invalid-depth exclusion, reference
+    mapper.py:419-420) must behave identically on the mesh path and the
+    single-chip chain — including actually changing the result when some
+    depth pixels are invalid."""
+    import jax.numpy as jnp
+    from rtgslam_tpu.models import optimize as opt_mod
+    from rtgslam_tpu.models.gaussian_map import STABLE
+    from rtgslam_tpu.parallel import make_mesh, dp_global_optimize
+    from rtgslam_tpu.parallel.sharded import _tiny_problem
+
+    state, frames, settings = _tiny_problem(n_frames=4)
+    state = state.replace(status=jnp.where(state.status != 0, STABLE,
+                                           state.status))
+    rep = lambda x: jnp.broadcast_to(x[:1], x.shape)
+    # zero out a depth stripe so the mask matters
+    depth0 = frames.depth[:1].at[:, :, :10].set(0.0)
+    colors, normals = rep(frames.color), rep(frames.normal)
+    depths = jnp.broadcast_to(depth0, frames.depth.shape)
+    w2cs, Ks, camposes = rep(frames.w2c), rep(frames.K), rep(frames.campos)
+    lrs = {k: jnp.float32(1e-3) for k in opt_mod.PARAM_KEYS}
+    weights = {"color_weight": jnp.float32(0.8),
+               "depth_weight": jnp.float32(1.0),
+               "normal_weight": jnp.float32(0.0),
+               "add_depth_thres": jnp.float32(0.1)}
+    n_steps = 2
+    dp_state, dp_loss = dp_global_optimize(
+        state, colors, depths, normals, w2cs, Ks, camposes,
+        n_steps, lrs, weights, settings, make_mesh(4), sample_ratio=-1.0,
+        mask_depth_positive=True)
+    ref_state, _ = opt_mod.optimize_chain(
+        state, colors[:1], depths[:1], normals[:1], w2cs[:1], Ks[:1],
+        camposes[:1], jnp.zeros(n_steps, jnp.int32), n_steps, lrs, weights,
+        settings, mode="global", sample_ratio=-1.0,
+        mask_depth_positive=True, max_weight=0.0)
+    unmasked_state, _ = opt_mod.optimize_chain(
+        state, colors[:1], depths[:1], normals[:1], w2cs[:1], Ks[:1],
+        camposes[:1], jnp.zeros(n_steps, jnp.int32), n_steps, lrs, weights,
+        settings, mode="global", sample_ratio=-1.0,
+        mask_depth_positive=False, max_weight=0.0)
+    assert np.isfinite(float(dp_loss))
+    assert np.allclose(np.asarray(dp_state.xyz), np.asarray(ref_state.xyz),
+                       atol=1e-5)
+    assert not np.allclose(np.asarray(ref_state.features_dc),
+                           np.asarray(unmasked_state.features_dc), atol=1e-7)
