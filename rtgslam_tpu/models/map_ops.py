@@ -306,6 +306,9 @@ def error_update(
     gt_d = gt_depth[..., 0] if gt_depth.ndim == 3 else gt_depth
     r_d = render_depth[..., 0] if render_depth.ndim == 3 else render_depth
     depth_err = jnp.maximum(gt_d - r_d, 0.0)  # only under-estimation counts
+    # channel SUM here vs channel MEAN in spawn_step — deliberate 3x
+    # asymmetry copied from the reference (strike: mapper.py:529-530 sums;
+    # spawn: mapper.py:760-762 means), both against add_color_thres
     color_err = jnp.sum(jnp.abs(gt_color - render_color), axis=-1)
     invalid = (gt_d == 0) | (depth_index < 0)
     depth_err = jnp.where(invalid, 0.0, depth_err)
@@ -342,9 +345,19 @@ def error_update(
 
 def _slerp(q0: jnp.ndarray, q1: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Batched spherical interpolation with lerp fallback for near-colinear
-    quaternions (``SLAM/utils.py:593-652``)."""
+    quaternions (``SLAM/utils.py:593-652``).
+
+    DELIBERATE DIVERGENCE: q1 is flipped into q0's hemisphere when
+    ``dot < 0``.  The reference slerp has no hemisphere correction, so an
+    optimized rotation that lands on the antipodal representation of its
+    history snapshot (q and -q encode the same rotation) would lerp
+    straight through the zero quaternion (dot ~ -1 routes to the lerp
+    branch) or take the long great-circle path — either corrupts the
+    merged rotation.  Flipping changes nothing when dot >= 0."""
     q0n, q1n = normalize(q0), normalize(q1)
     dot = jnp.sum(q0n * q1n, axis=-1, keepdims=True)
+    flip = jnp.where(dot < 0.0, -1.0, 1.0)
+    q1, q1n, dot = q1 * flip, q1n * flip, dot * flip
     colinear = jnp.abs(dot) > 0.9995
     theta0 = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
     sin0 = jnp.sin(theta0)

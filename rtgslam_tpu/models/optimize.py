@@ -221,6 +221,11 @@ def optimize_chain(
             settings, False, False)
         T = out["T_map"][..., 0]
         if local:
+            # rmask is NOT intersected with the tile mask, so loss pixels in
+            # skipped (<50%-coverage) tiles see background renders —
+            # reference parity: evaluate_render_range returns the raw
+            # transmission mask alongside the pooled tile mask and
+            # loss_update consumes it as-is (mapper.py:503-505, :371-468)
             rmask = T != 1.0
             tile = preprocess.transmission_to_tilemask(rmask, 16, 0.5)
         elif sample_ratio > 0:

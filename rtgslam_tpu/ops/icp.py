@@ -129,29 +129,6 @@ def _gn_update(res, J, pose10, damping, huber_delta: float = 0.02):
     return exp_se3(xi) @ pose10
 
 
-@partial(jax.jit, static_argnames=("max_iter", "association"))
-def icp_level(pose10, vertex0, vertex1, normal0, normal1, K,
-              max_iter: int, damping: float,
-              distance_threshold: float, normal_threshold: float,
-              association: str = "bilinear"):
-    """Run ``max_iter`` GN iterations at one pyramid level (icp.py:33-48)."""
-
-    def body(_, carry):
-        pose, _ = carry
-        res, J, valid = residuals_jacobian(
-            vertex0, vertex1, normal0, normal1, pose, K,
-            distance_threshold, normal_threshold, association)
-        pose = _gn_update(res, J, pose, damping)
-        return pose, jnp.mean(valid.astype(jnp.float32))
-
-    # geometry needs true f32 matmuls: bf16 MXU passes put millimetres of
-    # noise into residuals, which the 6x6 solve amplifies
-    with jax.default_matmul_precision("highest"):
-        pose10, valid_ratio = jax.lax.fori_loop(
-            0, max_iter, body, (pose10, jnp.float32(0.0)))
-    return pose10, valid_ratio
-
-
 @partial(jax.jit, static_argnames=("iters", "association"))
 def icp_solve_all_levels(pose10, vertex1_pyr, vertex0_pyr, normal1_pyr,
                          normal0_pyr, K, downscales, iters,

@@ -85,7 +85,14 @@ def compute_confidence_map(normal_map: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarr
 def bilateral_filter(depth: jnp.ndarray, radius: int = 5,
                      sigma_color: float = 2.0, sigma_space: float = 2.0) -> jnp.ndarray:
     """Bilateral depth filter over a disc of the given radius; zero-depth
-    pixels are excluded from the support and zero-weight outputs stay zero."""
+    pixels are excluded from the support and zero-weight outputs stay zero.
+
+    NOTE (reference parity, ``SLAM/utils.py:550-589``): only invalid
+    NEIGHBORS are masked — a zero-depth CENTER with valid in-radius
+    neighbors is inpainted from them, exactly as the reference does.  At
+    occlusion boundaries this can synthesize depth in free space; kept
+    because the downstream spawn/ICP thresholds were tuned against this
+    behavior."""
     squeeze = depth.ndim == 3
     if squeeze:
         depth = depth[..., 0]
@@ -147,7 +154,12 @@ def pixelmask_to_tilemask(mask: jnp.ndarray, stride: int = TILE) -> jnp.ndarray:
 
 def transmission_to_tilemask(mask: jnp.ndarray, stride: int = TILE,
                              ratio: float = 0.5) -> jnp.ndarray:
-    """Tile active iff the mean of the pixel mask exceeds ``ratio``."""
+    """Tile active iff the mean of the pixel mask exceeds ``ratio``.
+
+    Edge tiles of a non-multiple-of-``stride`` resolution average over the
+    zero padding (diluting their mean) — reference parity: the reference
+    zero-pads into ``avg_pool2d`` the same way (``SLAM/utils.py:695-705``,
+    likewise ``colorerror2tilemask`` :708-734)."""
     return (_pool(mask.astype(jnp.float32), stride, jnp.mean, 0.0) > ratio).astype(jnp.int32)
 
 

@@ -46,14 +46,17 @@ class RasterSettings:
     block_capacity: int = 4096
     tile_capacity: int = 1024
     max_visible: int = 131072
-    # Pallas TPU blend kernel for inference renders (grid = tiles, per-tile
-    # early exit).  `pallas_interpret` runs it in interpreter mode (CPU
-    # tests); gradients always take the XLA scan path.
+    # Pallas TPU blend kernels (grid = tiles, per-tile early exit): used for
+    # inference renders, AND — when use_fused_vjp is also set — for both
+    # directions of the differentiable blend (pallas_blend.blend_bwd_pallas
+    # via blend._fused_bwd).  `pallas_interpret` runs them in interpreter
+    # mode (CPU tests).
     use_pallas: bool = False
     pallas_interpret: bool = False
     # custom-VJP blend for the optimize loop: early-exit forward + hand-
     # written back-to-front backward (blend.blend_tiles_fused) instead of
-    # the scan+checkpoint autodiff path.  Pure XLA; default on.
+    # the scan+checkpoint autodiff path.  XLA by default, Pallas kernels in
+    # both directions when use_pallas is set; default on.
     use_fused_vjp: bool = True
 
     @classmethod

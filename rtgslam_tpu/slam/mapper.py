@@ -115,6 +115,11 @@ class Mapper:
         # ref_limit buckets already compiled (or being compiled) ahead of
         # need — see _maybe_prewarm_bucket
         self._warmed_buckets = set()
+        # run-wide high-water mark of render bin overflow: capacities are a
+        # pure cost knob ONLY while this stays 0 (test_capacity_invariance);
+        # folded from the per-frame render lazily, surfaced by slam.py
+        self.max_overflow = 0
+        self._overflow_dev = None
         self._cached_render_key = None
 
         # optional tensorboard scalars (reference mapper.py:928-931,968-980)
@@ -206,6 +211,9 @@ class Mapper:
     def _cached_hwm(self) -> int:
         """High-water mark as of the end of the previous frame's lifecycle —
         exact for this frame's spawn (nothing inserts in between)."""
+        if self._overflow_dev is not None:
+            self.max_overflow = max(self.max_overflow, int(self._overflow_dev))
+            self._overflow_dev = None
         return int(self._hwm_dev) if self._hwm_dev is not None else 0
 
     def _cached_stable_num(self) -> int:
@@ -324,8 +332,7 @@ class Mapper:
         self._prefetch_counters()
         if model_out is not None:
             self._set_model_map(model_out)
-        self._cached_render = out
-        self._cached_render_key = (self.time, frame.uid)
+        self._cache_render(out, (self.time, frame.uid))
         if self.verbose:
             print(f"add new gaussian num: {int(n_inserted)}")
 
@@ -623,8 +630,7 @@ class Mapper:
         self._prefetch_counters()
         # recycle as this frame's model render (state differs only by the
         # gaussians the strike pass deleted/released)
-        self._cached_render = out
-        self._cached_render_key = (self.time, rec["camera"].uid)
+        self._cache_render(out, (self.time, rec["camera"].uid))
 
     def _refresh_counters(self):
         self._hwm_dev, self._stable_dev = map_ops.map_counters(self.state)
@@ -639,6 +645,15 @@ class Mapper:
                 dev.copy_to_host_async()
             except AttributeError:
                 pass
+
+    def _cache_render(self, out, key) -> None:
+        """Stash this frame's lifecycle render + start the async D2H of its
+        overflow counter (folded into ``max_overflow`` next frame)."""
+        self._cached_render = out
+        self._cached_render_key = key
+        self._overflow_dev = out.get("overflow")
+        if hasattr(self._overflow_dev, "copy_to_host_async"):
+            self._overflow_dev.copy_to_host_async()
 
     def drain(self):
         """Block until this frame's mapping chain has executed (fetches one

@@ -102,7 +102,8 @@ def main():
     ate = tracker.save_traj(args.save_path)
     fps = recorder.cal_fps()
     recorder.save(args.save_path)
-    print(f"[LOG] ATE RMSE: {ate:.3f} cm  mapping FPS: {fps:.2f}")
+    print(f"[LOG] ATE RMSE: {ate:.3f} cm  mapping FPS: {fps:.2f}  "
+          f"max bin_overflow: {mapper.max_overflow}")
 
     if getattr(args, "pcd_densify", False):
         from rtgslam_tpu.models.densify import save_densified_ply

@@ -162,3 +162,22 @@ def test_donated_twins_match_value_semantics():
                   "confidence"):
         assert np.array_equal(np.asarray(getattr(ref, field)),
                               np.asarray(getattr(got, field))), field
+
+
+def test_slerp_hemisphere_correction():
+    """Antipodal quaternion pairs (q and -q encode the same rotation) must
+    interpolate to a usable rotation, not through the zero quaternion
+    (deliberate divergence from the reference slerp — see _slerp)."""
+    q = jnp.asarray([[0.5, 0.5, 0.5, 0.5]])
+    out = map_ops._slerp(q, -q, jnp.asarray([[0.5]]))
+    # without hemisphere correction this lerp yields the zero quaternion
+    assert float(jnp.linalg.norm(out)) > 0.9
+    # and the interpolant still encodes the same rotation as q
+    outn = out / jnp.linalg.norm(out)
+    assert abs(float(jnp.abs(jnp.sum(outn * q)))) > 0.999
+    # regular (same-hemisphere) pairs are untouched by the flip
+    q2 = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    q3 = jnp.asarray([[0.0, 1.0, 0.0, 0.0]])
+    mid = map_ops._slerp(q2, q3, jnp.asarray([[0.5]]))
+    assert np.allclose(np.asarray(mid)[0], [2 ** -0.5, 2 ** -0.5, 0, 0],
+                       atol=1e-5)
