@@ -165,3 +165,40 @@ def test_ref_limit_bucket_prewarm(base_args, synthetic_cams):
         if t.name.startswith("prewarm-"):
             t.join(timeout=120)
     assert mapper.get_unstable_num + mapper.get_stable_num > 0
+
+
+def test_overflow_tracked_across_run(base_args, synthetic_cams):
+    """Mapper.max_overflow folds the per-frame render overflow counter
+    (async, no extra dispatch) and stays 0 at healthy capacities."""
+    import copy
+
+    args = copy.deepcopy(base_args)
+    args.use_gt_pose = True
+    # the conftest fixture's cost-optimized capacities themselves overflow
+    # on this scene (that's what this counter makes visible) — give the
+    # healthy branch adequate headroom
+    args.tile_capacity = 1024
+    args.block_capacity = 4096
+    opt = OptimizationParams().extract(args)
+    tracker, mapper = Tracker(args), Mapper(args)
+    for i, cam in enumerate(synthetic_cams[:4]):
+        fm = tracker.map_preprocess(cam, i)
+        tracker.tracking(cam, fm)
+        mapper.mapping(cam, fm, i, opt)
+        mapper.time += 1
+    mapper._cached_hwm()   # fold the last frame's counter
+    assert mapper.max_overflow == 0
+    # undersized tile capacity must be detected through the same channel
+    args2 = copy.deepcopy(base_args)
+    args2.use_gt_pose = True
+    args2.tile_capacity = 64    # far below this scene's occupancy
+    args2.block_capacity = 128
+    opt2 = OptimizationParams().extract(args2)
+    tracker2, mapper2 = Tracker(args2), Mapper(args2)
+    for i, cam in enumerate(synthetic_cams[:3]):
+        fm = tracker2.map_preprocess(cam, i)
+        tracker2.tracking(cam, fm)
+        mapper2.mapping(cam, fm, i, opt2)
+        mapper2.time += 1
+    mapper2._cached_hwm()
+    assert mapper2.max_overflow > 0
