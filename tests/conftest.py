@@ -29,7 +29,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.fixture(scope="session")
 def base_args():
     args = read_config(os.path.join(REPO, "configs", "base.yaml"))
-    # small static capacities so CPU tests stay fast
+    # small static capacities so CPU tests stay fast.  NOTE: tile/block are
+    # deliberately UNDERSIZED for the synthetic scene — e2e tests therefore
+    # also exercise the graceful-overflow path (farthest gaussians dropped,
+    # counter raised; see test_overflow_tracked_across_run) while their
+    # quality assertions still hold
     args.map_capacity = 8192
     args.temp_capacity = 2048
     args.block_capacity = 512
