@@ -32,15 +32,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import numpy as np
 
 
-def main():
-    H = int(os.environ.get("BENCH_H", 170))
-    W = int(os.environ.get("BENCH_W", 300))
-    n_frames = int(os.environ.get("BENCH_FRAMES", 40))
-    warmup = int(os.environ.get("BENCH_WARMUP", 12))
-
+def make_args(H, W, env_overrides=True):
+    """Benchmark configuration at the Replica operating point, sized to
+    (H, W).  Shared with scripts/roofline.py so the roofline's executables
+    are EXACTLY the bench executables."""
     from rtgslam_tpu.config import read_config, OptimizationParams
-    from rtgslam_tpu.data.synthetic import make_cameras
-    from rtgslam_tpu.slam import Mapper, Tracker
 
     repo = os.path.dirname(os.path.abspath(__file__))
     args = read_config(os.path.join(repo, "configs", "base.yaml"))
@@ -73,15 +69,28 @@ def main():
     args.tile_capacity = 512
     # stretch-envelope overrides (e.g. BENCH_MAP_CAPACITY=131072 for the
     # >=128k-slot validation run; see README scale table)
-    for attr, env in (("map_capacity", "BENCH_MAP_CAPACITY"),
-                      ("temp_capacity", "BENCH_TEMP_CAPACITY"),
-                      ("tile_capacity", "BENCH_TILE_CAPACITY"),
-                      ("block_capacity", "BENCH_BLOCK_CAPACITY")):
-        if env in os.environ:
-            setattr(args, attr, int(os.environ[env]))
+    if env_overrides:
+        for attr, env in (("map_capacity", "BENCH_MAP_CAPACITY"),
+                          ("temp_capacity", "BENCH_TEMP_CAPACITY"),
+                          ("tile_capacity", "BENCH_TILE_CAPACITY"),
+                          ("block_capacity", "BENCH_BLOCK_CAPACITY")):
+            if env in os.environ:
+                setattr(args, attr, int(os.environ[env]))
     args.max_visible = args.map_capacity // 2
     opt = OptimizationParams().extract(args)
+    return args, opt
 
+
+def main():
+    H = int(os.environ.get("BENCH_H", 170))
+    W = int(os.environ.get("BENCH_W", 300))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 40))
+    warmup = int(os.environ.get("BENCH_WARMUP", 12))
+
+    from rtgslam_tpu.data.synthetic import make_cameras
+    from rtgslam_tpu.slam import Mapper, Tracker
+
+    args, opt = make_args(H, W)
     cams = make_cameras(n_frames=n_frames, H=H, W=W)
     tracker = Tracker(args)
     mapper = Mapper(args)
@@ -118,6 +127,8 @@ def main():
     from rtgslam_tpu.slam.eval import eval_frame
 
     metrics = eval_frame(mapper, cams[-1])
+    # run-wide high-water mark, not just the eval frame's render
+    overflow = max(int(mapper.max_overflow), int(metrics.get("bin_overflow", 0)))
 
     result = {
         "metric": "synthetic_room_online_mapping_fps",
@@ -137,7 +148,7 @@ def main():
             "psnr": round(float(metrics["psnr"]), 3),
             "depth_l1_cm": round(float(metrics["depth_l1_cm"]), 4),
             "gaussians": mapper.get_unstable_num + mapper.get_stable_num,
-            "bin_overflow": metrics.get("bin_overflow", 0),
+            "bin_overflow": overflow,
         },
     }
     from rtgslam_tpu.utils import perf
@@ -145,6 +156,13 @@ def main():
     if perf.ENABLED:
         result["detail"]["perf"] = perf.report()
     print(json.dumps(result))
+    if overflow:
+        # Overflow means the static tile/block capacities silently dropped
+        # gaussians: the numbers above are not trustworthy.  Fail loudly
+        # (deterministic — the retry wrapper aborts instead of retrying).
+        sys.stderr.write(f"[bench] FATAL: bin_overflow={overflow} != 0 — "
+                         "undersized tile/block capacity\n")
+        sys.exit(2)
 
 
 def main_with_retries(attempts: int = 3, cooldown_s: int = 240) -> int:
@@ -158,6 +176,11 @@ def main_with_retries(attempts: int = 3, cooldown_s: int = 240) -> int:
         if proc.returncode == 0 and json_lines:
             print(json_lines[-1])
             return 0
+        if proc.returncode == 2 and json_lines:
+            # deterministic capacity failure — retrying cannot fix it
+            print(json_lines[-1])
+            sys.stderr.write((proc.stderr or "").splitlines()[-1] + "\n")
+            return 2
         sys.stderr.write(
             f"[bench] attempt {attempt + 1} failed "
             f"(rc={proc.returncode}); tail:\n"

@@ -4,7 +4,9 @@ The reference scores LPIPS-alex per frame (``SLAM/eval.py:38-147``).  The
 metric needs pretrained AlexNet features + per-layer linear heads; this
 environment has no network egress and no cached weights, so the metric is
 *gated*: point ``LPIPS_WEIGHTS`` at an ``.npz`` with the arrays below and
-:func:`lpips` computes the real value, otherwise it reports NaN.
+:func:`lpips` computes the real value, otherwise it returns ``None`` and the
+eval outputs drop the column.  This gate is THE contract (permanent): no
+weights -> no number, never NaN.
 
 Expected npz keys (export once from the `lpips` pip package on a connected
 machine with ``scripts/export_lpips_weights.py``):
@@ -74,11 +76,11 @@ def _lpips_jit(a, b, w_arrays):
 
 
 def lpips(img: np.ndarray, gt: np.ndarray,
-          weights_path: Optional[str] = None) -> float:
-    """LPIPS between [H, W, 3] images in [0, 1]; NaN if weights unavailable."""
+          weights_path: Optional[str] = None) -> Optional[float]:
+    """LPIPS between [H, W, 3] images in [0, 1]; None if weights unavailable."""
     w = load_weights(weights_path)
     if w is None:
-        return float("nan")
+        return None
     a = jnp.asarray(img.transpose(2, 0, 1))[None] * 2.0 - 1.0
     b = jnp.asarray(gt.transpose(2, 0, 1))[None] * 2.0 - 1.0
     return float(_lpips_jit(a, b, {k: jnp.asarray(v) for k, v in w.items()}))

@@ -6,9 +6,9 @@ Reference contracts (``SLAM/eval.py``):
   eval_pcd    (:176): accuracy & completion (cm), precision/recall/F1 @ 3 cm
               against the GT mesh vertices (KDTree nearest distances).
 
-LPIPS requires pretrained AlexNet features; with no network egress the
-metric reports NaN unless a weights file is provided (``LPIPS_WEIGHTS`` env
-var) — interface kept so runs on provisioned machines fill the column.
+LPIPS requires pretrained AlexNet features.  Permanent contract (single
+gate, ``models/lpips.py``): ``LPIPS_WEIGHTS`` set -> real number in every
+eval output; unset -> the column is absent.  No NaN path exists.
 """
 
 from __future__ import annotations
@@ -28,17 +28,12 @@ from ..utils.ply import read_ply
 def lpips(img: np.ndarray, gt: np.ndarray):
     """LPIPS(alex) when weights are available, else None (pure-JAX AlexNet,
     see models/lpips.py; export weights with scripts/export_lpips_weights.py
-    on a connected machine and point LPIPS_WEIGHTS at the npz).  Returning
-    None — not NaN — makes eval outputs drop the column explicitly instead
-    of carrying a poisoned number (reference scores LPIPS per frame,
-    SLAM/eval.py:58-66)."""
+    on a connected machine and point LPIPS_WEIGHTS at the npz).  The gate
+    lives in models/lpips.py — this is a thin re-export (reference scores
+    LPIPS per frame, SLAM/eval.py:58-66)."""
     from ..models.lpips import lpips as lpips_jax
 
-    try:
-        val = lpips_jax(img, gt)
-    except Exception:
-        return None
-    return None if (val is None or np.isnan(val)) else float(val)
+    return lpips_jax(img, gt)
 
 
 def eval_picture(render_out: Dict, gt_color: np.ndarray, gt_depth: np.ndarray,

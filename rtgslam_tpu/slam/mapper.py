@@ -424,25 +424,6 @@ class Mapper:
             "hist_rotation_raw": history["rotation_raw"],
         }
 
-    def evaluate_render_range(self, cam_dev, global_opt=False, sample_ratio=-1.0,
-                              unstable=True, gt_color=None):
-        """Partial-render masks from transmittance / color error
-        (mapper.py:471-508)."""
-        out = self._render(cam_dev, "unstable" if unstable else "stable")
-        T = out["T_map"][..., 0]
-        if global_opt and sample_ratio > 0:
-            err = jnp.sum(jnp.abs(out["render"] - gt_color), axis=-1)
-            err = jnp.where(jnp.sum(out["render"], axis=-1) == 0, 0.0, err)
-            tile = preprocess.colorerror_to_tilemask(err, 16, sample_ratio)
-            rmask = preprocess.tilemask_to_pixelmask(tile, self.H, self.W)
-        elif global_opt:
-            rmask = T != 1.0
-            tile = jnp.ones(((self.H + 15) // 16, (self.W + 15) // 16), jnp.int32)
-        else:
-            rmask = T != 1.0
-            tile = preprocess.transmission_to_tilemask(rmask, 16, 0.5)
-        return rmask, tile
-
     def _stack_batch(self, entries) -> optimize.FrameBatch:
         """Stack (pad to memory_length) frame dicts into a FrameBatch."""
         if self.dataset_type == "Scannetpp":
@@ -489,16 +470,35 @@ class Mapper:
             entries.append(entries[-1])
 
         n_iters = self.gaussian_update_iter
-        seq = self.rng.integers(0, n_actual, size=n_iters)
-        seq[n_iters // 2 + 1:] = n_actual - 1  # late iters focus the newest frame
         _t0 = time_mod.perf_counter()
-        self.state, report = optimize.optimize_chain_donated(
-            self.state, *self._stack_entries(entries),
-            jnp.asarray(seq, jnp.int32), n_iters,
-            self._lrs(opt), self._weights(opt), self.settings,
-            mode="local", sample_ratio=-1.0,
-            mask_depth_positive=(self.dataset_type == "Scannetpp"),
-            max_weight=self.history_merge_max_weight)
+        if self.mesh is not None:
+            # frame-parallel over the memory window: one memory frame per
+            # device, pmean'd gradients — the #1 hot loop on the mesh
+            # (parallel/sharded.py::dp_local_optimize)
+            from ..parallel import dp_local_optimize
+
+            n_dev = self.mesh.devices.size
+            if len(entries) > n_dev:
+                entries = entries[-n_dev:]      # newest frames win
+            while len(entries) < n_dev:
+                entries.append(entries[len(entries) % n_actual])
+            self.state, total = dp_local_optimize(
+                self.state, *self._stack_entries(entries[:n_dev]),
+                n_iters, self._lrs(opt), self._weights(opt), self.settings,
+                self.mesh,
+                mask_depth_positive=(self.dataset_type == "Scannetpp"),
+                max_weight=self.history_merge_max_weight)
+            report = {"total": total}
+        else:
+            seq = self.rng.integers(0, n_actual, size=n_iters)
+            seq[n_iters // 2 + 1:] = n_actual - 1  # late iters: newest frame
+            self.state, report = optimize.optimize_chain_donated(
+                self.state, *self._stack_entries(entries),
+                jnp.asarray(seq, jnp.int32), n_iters,
+                self._lrs(opt), self._weights(opt), self.settings,
+                mode="local", sample_ratio=-1.0,
+                mask_depth_positive=(self.dataset_type == "Scannetpp"),
+                max_weight=self.history_merge_max_weight)
         perf.count("map.local_optimize", time_mod.perf_counter() - _t0)
         if self.tb_writer is not None:
             self.train_report(self.get_total_iter,
