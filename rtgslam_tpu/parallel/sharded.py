@@ -197,6 +197,102 @@ def dp_global_optimize(
     return state.with_params(new_params), loss
 
 
+def dp_local_optimize(
+    state: MapState,
+    colors, depths, normals, w2cs, Ks, camposes,   # stacked [F == mesh size]
+    n_steps: int,
+    lrs: Dict[str, jnp.ndarray],
+    weights: Dict[str, jnp.ndarray],
+    settings: RasterSettings,
+    mesh: Mesh,
+    mask_depth_positive: bool = False,
+    max_weight: float = 10.0,
+):
+    """Frame-parallel LOCAL optimization over the memory window — the #1 hot
+    loop (SURVEY §3.5) on the mesh.
+
+    One memory frame per device; each device renders its own unstable-pool
+    transmission mask (the ``evaluate_render_range`` masks of reference
+    mapper.py:471-508) locally, every step takes a pmean'd gradient over the
+    whole window, and the history snapshot/EMA merge
+    (reference ``history_merge``, mapper.py:212-252) brackets the loop
+    exactly like the single-chip twin ``optimize.optimize_chain
+    (mode="local")``.  Called from ``Mapper.local_optimize`` when a mesh is
+    configured; parity pinned by
+    ``tests/test_parallel.py::test_dp_local_optimize_matches_single_chip``.
+    """
+    from ..models.gaussian_map import (alive_mask, render_inputs,
+                                       unstable_mask)
+    from ..models.map_ops import capture_history, history_merge
+    from ..ops import preprocess
+    from ..ops.rasterize.api import _render_impl
+
+    axis = mesh.axis_names[0]
+    params = state.params()
+    hist = capture_history(state)
+    hyper = dict(weights)
+    hyper.update(hist_opacity=hist["opacity"], hist_scaling=hist["scaling"],
+                 hist_xyz=hist["xyz"], hist_rotation_raw=hist["rotation_raw"])
+    umask = unstable_mask(state)
+    aux = {"render_alive": alive_mask(state), "update_mask": umask}
+    mask_gauss = render_inputs(state, umask)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def run(params, colors, depths, normals, w2cs, Ks, camposes):
+        cam_w2c, cam_K, campos = w2cs[0], Ks[0], camposes[0]
+        out = _render_impl.__wrapped__(
+            mask_gauss, cam_w2c, cam_K, campos, None, settings, False, False)
+        # raw transmission mask feeds the loss, pooled mask gates tiles —
+        # reference parity as in optimize_chain's make_masks
+        rmask = out["T_map"][..., 0] != 1.0
+        tile = preprocess.transmission_to_tilemask(rmask, 16, 0.5)
+        if mask_depth_positive:
+            rmask = rmask & (depths[0] > 0)
+        local_frame = {
+            "color": colors[0], "depth": depths[0], "normal": normals[0],
+            "w2c": cam_w2c, "K": cam_K, "campos": campos,
+            "render_mask": rmask, "tile_mask": tile,
+        }
+        m = {k: jnp.zeros_like(v) for k, v in params.items()}
+        v = {k: jnp.zeros_like(vv) for k, vv in params.items()}
+
+        def body(i, carry):
+            params, m, v, confidence, _ = carry
+            (_, report), grads = jax.value_and_grad(
+                opt_mod._loss_fn, has_aux=True)(
+                    params, aux, local_frame, settings, hyper)
+            grads = jax.lax.pmean(grads, axis)
+            params, m, v = opt_mod._adam_step(
+                params, grads, m, v, i, lrs, aux["update_mask"])
+            # optimization-confidence bump, exactly run_optimize's rule —
+            # grads are pmean'd so the update is replicated
+            touched = jnp.any(grads["features_dc"] != 0, axis=-1) \
+                & aux["update_mask"]
+            confidence = confidence + touched[:, None].astype(jnp.float32)
+            return params, m, v, confidence, report
+
+        init_report = jax.lax.pcast(
+            {k: jnp.float32(0)
+             for k in ("total", "color", "depth", "normal", "attach")},
+            (axis,), to="varying")
+        params, _, _, confidence, report = jax.lax.fori_loop(
+            0, n_steps, body,
+            (params, m, v, jax.lax.pcast(state.confidence, (axis,),
+                                         to="varying"), init_report))
+        return (params, jax.lax.pmean(confidence, axis),
+                jax.lax.pmean(report["total"], axis))
+
+    new_params, confidence, loss = run(params, colors, depths, normals,
+                                       w2cs, Ks, camposes)
+    state = state.with_params(new_params).replace(confidence=confidence)
+    return history_merge(state, hist, max_weight, unstable_mask(state)), loss
+
+
 # ---------------------------------------------------------------------------
 # driver dry-run: compile + execute the full sharded step on a virtual mesh
 # ---------------------------------------------------------------------------
@@ -257,5 +353,16 @@ def dryrun_multichip(n_devices: int) -> None:
     delta = float(jnp.abs(new_state.xyz - state.xyz).max())
     assert np.isfinite(float(loss)), "sharded step produced non-finite loss"
     assert delta > 0, "sharded step did not update parameters"
+
+    # the production hot loop on the mesh: frame-parallel LOCAL optimization
+    # including per-device mask renders and the history merge
+    weights = {k: hyper[k] for k in
+               ("color_weight", "depth_weight", "normal_weight",
+                "add_depth_thres")}
+    loc_state, loc_loss = dp_local_optimize(
+        state, frames.color, frames.depth, frames.normal, frames.w2c,
+        frames.K, frames.campos, 2, lrs, weights, settings, mesh)
+    jax.block_until_ready(loc_state.xyz)
+    assert np.isfinite(float(loc_loss)), "dp_local_optimize non-finite loss"
     print(f"[dryrun_multichip] mesh={mesh.shape} loss={float(loss):.4f} "
-          f"max|dxyz|={delta:.2e} OK")
+          f"max|dxyz|={delta:.2e} local_loss={float(loc_loss):.4f} OK")

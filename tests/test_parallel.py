@@ -67,6 +67,48 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(out[0])).all()
 
 
+def test_dp_local_optimize_matches_single_chip():
+    """With every device holding the SAME memory frame, the pmean'd DP local
+    step (incl. per-device unstable-pool mask render and history merge) must
+    equal the single-chip optimize_chain(mode='local') whose frame sequence
+    picks that frame every iteration."""
+    import jax.numpy as jnp
+    from rtgslam_tpu.models import optimize as opt_mod
+    from rtgslam_tpu.parallel import make_mesh, dp_local_optimize
+    from rtgslam_tpu.parallel.sharded import _tiny_problem
+
+    state, frames, settings = _tiny_problem(n_frames=4)
+    rep = lambda x: jnp.broadcast_to(x[:1], x.shape)
+    colors, depths, normals = (rep(frames.color), rep(frames.depth),
+                               rep(frames.normal))
+    w2cs, Ks, camposes = rep(frames.w2c), rep(frames.K), rep(frames.campos)
+    lrs = {k: jnp.float32(1e-3) for k in opt_mod.PARAM_KEYS}
+    weights = {"color_weight": jnp.float32(0.8),
+               "depth_weight": jnp.float32(1.0),
+               "normal_weight": jnp.float32(0.0),
+               "add_depth_thres": jnp.float32(0.1)}
+    n_steps = 3
+    max_weight = 5.0
+    dp_state, dp_loss = dp_local_optimize(
+        state, colors, depths, normals, w2cs, Ks, camposes,
+        n_steps, lrs, weights, settings, make_mesh(4),
+        max_weight=max_weight)
+    ref_state, ref_report = opt_mod.optimize_chain(
+        state, colors[:1], depths[:1], normals[:1], w2cs[:1], Ks[:1],
+        camposes[:1], jnp.zeros(n_steps, jnp.int32), n_steps, lrs, weights,
+        settings, mode="local", sample_ratio=-1.0,
+        mask_depth_positive=False, max_weight=max_weight)
+    assert np.isfinite(float(dp_loss))
+    assert np.allclose(np.asarray(dp_state.xyz), np.asarray(ref_state.xyz),
+                       atol=1e-5)
+    assert np.allclose(np.asarray(dp_state.opacity),
+                       np.asarray(ref_state.opacity), atol=1e-5)
+    assert np.allclose(np.asarray(dp_state.confidence),
+                       np.asarray(ref_state.confidence), atol=1e-5)
+    # the step must actually move parameters
+    assert not np.allclose(np.asarray(dp_state.xyz), np.asarray(state.xyz))
+
+
 def test_dp_global_optimize_matches_single_chip():
     """With every device holding the SAME keyframe, the pmean'd DP global
     step must equal the single-chip optimize_chain(mode='global') whose
