@@ -188,12 +188,26 @@ class Tracker:
         # crosses to the host mid-frame
         self.fused = not (self.use_orb_backend and not self.use_gt_pose)
 
-        # loop detection + ICP verification feeding the backend's pose graph
-        # (reference gets this from ORB-SLAM2's DBoW2 place recognition)
+        # loop detection + ICP verification.  Backend mode feeds the
+        # backend's pose graph (reference gets this from ORB-SLAM2's DBoW2
+        # place recognition).  The fused pure-ICP path can opt in with
+        # ``loop_closure_pure_icp`` — an extension beyond the reference,
+        # whose pure-ICP configs have no closure (base.yaml:105); the pose
+        # graph is then relaxed host-side (pose_backend.relax_pose_graph)
+        # and re-applied through get_new_poses -> mapper.update_poses.
         self.loop_closer = None
-        if not self.fused and bool(getattr(args, "use_loop_closure", True)):
+        lc_flag = bool(getattr(args, "use_loop_closure", True))
+        if self.fused:
+            enable_lc = lc_flag and bool(
+                getattr(args, "loop_closure_pure_icp", False)) \
+                and not self.use_gt_pose
+        else:
+            enable_lc = lc_flag
+        if enable_lc:
             from .loop_closure import LoopCloser
             self.loop_closer = LoopCloser(args)
+        self._loops = []                 # fused-path pose-graph constraints
+        self._corrected_poses = None     # pending relaxed history for mapper
         self._prev_depth = None          # previous frame's filtered depth
         self._model_feedback = None      # (render_d, frame_d, render_n, frame_n)
         self._last_rel_dev = None
@@ -369,13 +383,51 @@ class Tracker:
             with span("track.pose_fetch"):
                 pose_t1_w, success = jax.device_get((c2w, ok))
             success = bool(success)
+            if not success and self.loop_closer is not None:
+                # relocalize against stored keyframes (staged-path twin at
+                # tracking(); reference recovers via ORB-SLAM2 features)
+                reloc = self.loop_closer.relocalize(
+                    self.curr_frame["frame_id"],
+                    np.asarray(pose_t1_w, np.float64),
+                    fm["depth_map"], self.K)
+                if reloc is not None:
+                    pose_t1_w = np.asarray(reloc, np.float32)
+                    rel = np.linalg.inv(self._prev_c2w) @ pose_t1_w
+                    self._last_rel_dev = jnp.asarray(rel, jnp.float32)
+                    fm = _lift(fm, jnp.asarray(pose_t1_w, jnp.float32))
+                    success = True
+                    self.status["relocalized"] = \
+                        int(self.status.get("relocalized", 0)) + 1
 
         self._prev_depth = fm["depth_map"]
         self._model_feedback = None
-        self._prev_c2w = np.asarray(pose_t1_w, np.float32)
         fm["time"] = frame_map.get("time", self.curr_frame["frame_id"])
         frame_map.update(fm)
         self.pose_es.append(np.asarray(pose_t1_w))
+
+        if self.loop_closer is not None and not self.use_gt_pose:
+            loop = self.loop_closer.observe(
+                self.curr_frame["frame_id"], np.asarray(pose_t1_w, np.float64),
+                fm["depth_map"], self.K)
+            if loop is not None:
+                from .pose_backend import relax_pose_graph
+
+                i, j, T_ij = loop
+                self._loops.append((i, j, np.asarray(T_ij, np.float64), 1.0))
+                corrected = relax_pose_graph(self.pose_es, self._loops)
+                self.pose_es = [np.asarray(p) for p in corrected]
+                pose_t1_w = np.asarray(self.pose_es[-1], np.float32)
+                # re-anchor the loop store or a later relocalize would
+                # resurrect the drift this closure just removed
+                self.loop_closer.update_poses(self.pose_es)
+                # hand the relaxed history to the mapper (update_poses)
+                self._corrected_poses = list(self.pose_es)
+                fm = _lift(fm, jnp.asarray(pose_t1_w, jnp.float32))
+                frame_map.update(fm)
+                self.status["loops_closed"] = \
+                    int(self.status.get("loops_closed", 0)) + 1
+
+        self._prev_c2w = np.asarray(pose_t1_w, np.float32)
         frame.update_pose(np.asarray(pose_t1_w, np.float64))
         return success
 
@@ -396,6 +448,10 @@ class Tracker:
     def get_new_poses(self):
         if self.use_orb_backend and not self.use_gt_pose:
             poses, _ = convert_poses(self.orb_backend.get_trajectory_points())
+            return poses
+        if self._corrected_poses is not None:
+            # fused-path pose-graph relaxation pending: hand it over once
+            poses, self._corrected_poses = self._corrected_poses, None
             return poses
         return None
 

@@ -200,6 +200,117 @@ def test_relocalization_recovers_from_icp_failure(base_args):
     assert err_on < 0.01, err_on  # recovered to within 1 cm
 
 
+def _drifting_fused_step(bias, fail_frames=()):
+    """Wrap the fused single-dispatch track step with a post-hoc odometry
+    bias (the fused-path twin of DriftingBackend) and optional forced hard
+    failures.  Returns (wrapper, original)."""
+    import jax.numpy as jnp
+    import rtgslam_tpu.slam.tracker as trmod
+
+    orig = trmod.fused_icp_track_step
+    bias_T = jnp.eye(4).at[:3, 3].set(jnp.asarray(bias, jnp.float32))
+    calls = {"n": 0}
+
+    garbage_T = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.12, 0, 0.08]))
+
+    def wrapper(*a, **k):
+        fm, c2w, pose_used, new_last_rel, p2p, ok = orig(*a, **k)
+        calls["n"] += 1
+        if calls["n"] in fail_frames:
+            # hard failure: a garbage pose the host must NOT keep
+            return (fm, c2w @ garbage_T, pose_used, new_last_rel, p2p,
+                    jnp.asarray(False))
+        return fm, c2w @ bias_T, pose_used, new_last_rel, p2p, ok
+
+    return wrapper, orig
+
+
+def test_fused_pure_icp_loop_closure_drops_ate(base_args):
+    """The fused pure-ICP path (no ORB backend — bench/Replica configs) with
+    ``loop_closure_pure_icp`` on: injected odometry drift on a revisiting
+    trajectory is detected, ICP-verified, relaxed host-side
+    (relax_pose_graph), and the final ATE beats the no-closure run.
+    Extension beyond the reference (its pure-ICP configs have no closure,
+    base.yaml:105)."""
+    import rtgslam_tpu.slam.tracker as trmod
+    from rtgslam_tpu.data.synthetic import make_cameras
+    from rtgslam_tpu.slam import Tracker
+
+    cams = _loop_sequence(make_cameras(n_frames=10, H=96, W=128))
+
+    def run(use_closure):
+        args = copy.deepcopy(base_args)
+        args.use_gt_pose = False
+        args.use_orb_backend = False            # fused single-dispatch path
+        args.icp_use_model_depth = False
+        args.loop_closure_pure_icp = use_closure
+        args.loop_check_every = 1
+        args.loop_min_gap = 14
+        args.loop_cooldown = 50
+        args.loop_candidate_radius = 0.4
+        tracker = Tracker(args)
+        assert tracker.fused
+        wrapper, orig = _drifting_fused_step([0.0015, 0, 0.001])
+        trmod.fused_icp_track_step = wrapper
+        try:
+            for i, cam in enumerate(cams):
+                fm = tracker.map_preprocess(cam, i)
+                tracker.tracking(cam, fm)
+        finally:
+            trmod.fused_icp_track_step = orig
+        return tracker
+
+    t_open = run(use_closure=False)
+    t_closed = run(use_closure=True)
+    assert t_open.loop_closer is None           # default stays reference-like
+    assert t_closed.status.get("loops_closed", 0) >= 1
+    # the relaxed history is handed to the mapper exactly once
+    assert t_closed.get_new_poses() is not None
+    assert t_closed.get_new_poses() is None
+    ate_open = t_open.eval_ate()
+    ate_closed = t_closed.eval_ate()
+    assert ate_closed < 0.7 * ate_open, (ate_open, ate_closed)
+
+
+def test_fused_pure_icp_relocalization(base_args):
+    """A hard ICP failure on the fused path relocalizes against stored
+    keyframe depths instead of coasting (staged-path twin:
+    test_relocalization_recovers_from_icp_failure)."""
+    import rtgslam_tpu.slam.tracker as trmod
+    from rtgslam_tpu.data.synthetic import make_cameras
+    from rtgslam_tpu.slam import Tracker
+
+    cams = make_cameras(n_frames=24, H=96, W=128)[::3]
+    fail_at = 5   # frame index; fused step call n == frame index (first
+                  # frame initializes without the fused step)
+
+    def run(use_reloc):
+        args = copy.deepcopy(base_args)
+        args.use_gt_pose = False
+        args.use_orb_backend = False
+        args.icp_use_model_depth = False
+        args.loop_closure_pure_icp = use_reloc
+        args.loop_check_every = 1
+        args.loop_min_gap = 10 ** 6          # keep records, never close
+        tracker = Tracker(args)
+        wrapper, orig = _drifting_fused_step([0, 0, 0],
+                                             fail_frames={fail_at})
+        trmod.fused_icp_track_step = wrapper
+        try:
+            for i, cam in enumerate(cams):
+                fm = tracker.map_preprocess(cam, i)
+                tracker.tracking(cam, fm)
+        finally:
+            trmod.fused_icp_track_step = orig
+        return tracker
+
+    t_on = run(use_reloc=True)
+    assert t_on.status.get("relocalized", 0) >= 1
+    err_on = np.linalg.norm(
+        t_on.pose_es[fail_at][:3, 3] - t_on.pose_gt[fail_at][:3, 3])
+    assert err_on < 0.01, err_on  # recovered to within 1 cm
+
+
 def test_update_poses_propagates_correction(base_args, synthetic_cams):
     """After a closure, mapper.update_poses must re-pose its frame memory and
     keyframes to the corrected trajectory and keep rendering consistent."""
