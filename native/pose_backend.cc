@@ -3,8 +3,12 @@
 // The reference reaches an ORB-SLAM2 C++ backend through a Boost.Python
 // binding (call sites SLAM/multiprocess/tracker.py:225-260).  This library
 // provides the same contract as a native component for the TPU framework:
-//   * a trajectory store fed by ICP relative poses (track_with_icp_pose)
-//     or held poses on feature-track fallback (track_with_orb_feature);
+//   * a trajectory store fed by ICP relative poses (track_with_icp_pose);
+//   * a REAL image-feature fallback (track_with_orb_feature): Shi-Tomasi
+//     corners + ZNCC patch matching against the last tracked frame,
+//     depth-lifted 3D-3D RANSAC + Horn (quaternion) alignment — the role
+//     ORB feature tracking plays in the reference when ICP fails
+//     (reference tracker.py:236-240, backend built by build_orb.sh:34-68);
 //   * keyframe selection every N frames;
 //   * a loop-closure hook: add_loop_constraint(i, j, T_ij) followed by
 //     Gauss-Newton pose-graph relaxation over SE(3) (rotations composed
@@ -16,6 +20,7 @@
 // Exposed as a C API consumed via ctypes (rtgslam_tpu/slam/native_backend.py);
 // no Python.h dependency so it builds anywhere with g++.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -88,6 +93,283 @@ struct Constraint {
   double weight;
 };
 
+// ---------------------------------------------------------------------------
+// Image-feature tracking (the reference's ORB fallback, tracker.py:236-240):
+// Shi-Tomasi corners -> ZNCC patch matching against the last tracked frame
+// -> depth-lifted 3D-3D RANSAC + Horn (quaternion) absolute orientation.
+// ---------------------------------------------------------------------------
+
+struct Corner { int u, v; float score; };
+
+struct Camera {
+  double fx = 0, fy = 0, cx = 0, cy = 0;
+  int W = 0, H = 0;
+  double depth_scale = 1000.0;  // raw u16 units per metre (TUM convention)
+  bool valid = false;
+};
+
+struct RefFrame {
+  bool valid = false;
+  int W = 0, H = 0;
+  std::vector<float> gray;    // normalized [0, 1]
+  std::vector<float> depth;   // metres (0 = invalid)
+  std::vector<Corner> corners;
+  Mat4 c2w;
+};
+
+// rgb u8 [H, W, 3] -> normalized gray
+void to_gray(const uint8_t* rgb, int W, int H, std::vector<float>& out) {
+  out.resize(static_cast<size_t>(W) * H);
+  for (int i = 0; i < W * H; ++i)
+    out[i] = (0.299f * rgb[i * 3] + 0.587f * rgb[i * 3 + 1] +
+              0.114f * rgb[i * 3 + 2]) / 255.0f;
+}
+
+void depth_to_metres(const uint16_t* d, int W, int H, double scale,
+                     std::vector<float>& out) {
+  out.resize(static_cast<size_t>(W) * H);
+  for (int i = 0; i < W * H; ++i)
+    out[i] = static_cast<float>(d[i] / scale);
+}
+
+// Shi-Tomasi min-eigenvalue corners with per-cell non-max suppression.
+void shi_tomasi(const std::vector<float>& g, int W, int H,
+                std::vector<Corner>& corners, int cell = 12,
+                float thresh = 1e-4f) {
+  corners.clear();
+  if (W < 16 || H < 16) return;
+  std::vector<float> ix(static_cast<size_t>(W) * H, 0.f),
+      iy(static_cast<size_t>(W) * H, 0.f);
+  for (int y = 1; y + 1 < H; ++y)
+    for (int x = 1; x + 1 < W; ++x) {
+      const int i = y * W + x;
+      ix[i] = 0.5f * (g[i + 1] - g[i - 1]);
+      iy[i] = 0.5f * (g[i + W] - g[i - W]);
+    }
+  // structure tensor over a 5x5 window via separable box sums
+  auto box5 = [&](std::vector<float>& a) {
+    std::vector<float> tmp(a.size(), 0.f);
+    for (int y = 0; y < H; ++y)
+      for (int x = 2; x + 2 < W; ++x) {
+        const int i = y * W + x;
+        tmp[i] = a[i - 2] + a[i - 1] + a[i] + a[i + 1] + a[i + 2];
+      }
+    for (int y = 2; y + 2 < H; ++y)
+      for (int x = 0; x < W; ++x) {
+        const int i = y * W + x;
+        a[i] = tmp[i - 2 * W] + tmp[i - W] + tmp[i] + tmp[i + W] +
+               tmp[i + 2 * W];
+      }
+  };
+  std::vector<float> sxx(ix.size()), syy(ix.size()), sxy(ix.size());
+  for (size_t i = 0; i < ix.size(); ++i) {
+    sxx[i] = ix[i] * ix[i];
+    syy[i] = iy[i] * iy[i];
+    sxy[i] = ix[i] * iy[i];
+  }
+  box5(sxx); box5(syy); box5(sxy);
+  const int margin = 8;  // keep full match patches inside the image
+  for (int cy = margin; cy < H - margin; cy += cell)
+    for (int cx0 = margin; cx0 < W - margin; cx0 += cell) {
+      Corner best{-1, -1, thresh};
+      for (int y = cy; y < std::min(cy + cell, H - margin); ++y)
+        for (int x = cx0; x < std::min(cx0 + cell, W - margin); ++x) {
+          const int i = y * W + x;
+          const float tr = sxx[i] + syy[i];
+          const float det_term = std::sqrt(
+              (sxx[i] - syy[i]) * (sxx[i] - syy[i]) + 4.f * sxy[i] * sxy[i]);
+          const float min_eig = 0.5f * (tr - det_term);
+          if (min_eig > best.score) best = {x, y, min_eig};
+        }
+      if (best.u >= 0) corners.push_back(best);
+    }
+}
+
+// zero-normalized cross-correlation of (2r+1)^2 patches
+float zncc(const std::vector<float>& a, int au, int av,
+           const std::vector<float>& b, int bu, int bv, int W, int r = 5) {
+  float ma = 0, mb = 0;
+  const int n = (2 * r + 1) * (2 * r + 1);
+  for (int dy = -r; dy <= r; ++dy)
+    for (int dx = -r; dx <= r; ++dx) {
+      ma += a[(av + dy) * W + au + dx];
+      mb += b[(bv + dy) * W + bu + dx];
+    }
+  ma /= n; mb /= n;
+  float num = 0, da = 0, db = 0;
+  for (int dy = -r; dy <= r; ++dy)
+    for (int dx = -r; dx <= r; ++dx) {
+      const float va = a[(av + dy) * W + au + dx] - ma;
+      const float vb = b[(bv + dy) * W + bu + dx] - mb;
+      num += va * vb; da += va * va; db += vb * vb;
+    }
+  const float den = std::sqrt(da * db);
+  return den < 1e-12f ? 0.f : num / den;
+}
+
+struct Vec3 { double x, y, z; };
+
+inline bool lift(const Camera& cam, const std::vector<float>& depth,
+                 int u, int v, Vec3& p) {
+  const float z = depth[v * cam.W + u];
+  if (z < 0.1f || z > 20.f) return false;
+  p = {(u - cam.cx) / cam.fx * z, (v - cam.cy) / cam.fy * z, z};
+  return true;
+}
+
+// Horn's closed-form absolute orientation (quaternion) for weighted pairs:
+// finds R, t with  b_i ~= R a_i + t.  Largest eigenvector of the 4x4 N
+// matrix via cyclic Jacobi.
+bool horn_align(const std::vector<Vec3>& a, const std::vector<Vec3>& b,
+                const std::vector<int>& idx, Mat4& T) {
+  const int n = static_cast<int>(idx.size());
+  if (n < 3) return false;
+  Vec3 ca{0, 0, 0}, cb{0, 0, 0};
+  for (int k : idx) {
+    ca.x += a[k].x; ca.y += a[k].y; ca.z += a[k].z;
+    cb.x += b[k].x; cb.y += b[k].y; cb.z += b[k].z;
+  }
+  ca.x /= n; ca.y /= n; ca.z /= n;
+  cb.x /= n; cb.y /= n; cb.z /= n;
+  double M[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+  for (int k : idx) {
+    const double ax = a[k].x - ca.x, ay = a[k].y - ca.y, az = a[k].z - ca.z;
+    const double bx = b[k].x - cb.x, by = b[k].y - cb.y, bz = b[k].z - cb.z;
+    M[0] += ax * bx; M[1] += ax * by; M[2] += ax * bz;
+    M[3] += ay * bx; M[4] += ay * by; M[5] += ay * bz;
+    M[6] += az * bx; M[7] += az * by; M[8] += az * bz;
+  }
+  // Horn's N matrix
+  double N[16] = {
+      M[0] + M[4] + M[8], M[5] - M[7],        M[6] - M[2],        M[1] - M[3],
+      M[5] - M[7],        M[0] - M[4] - M[8], M[1] + M[3],        M[2] + M[6],
+      M[6] - M[2],        M[1] + M[3],       -M[0] + M[4] - M[8], M[5] + M[7],
+      M[1] - M[3],        M[2] + M[6],        M[5] + M[7],       -M[0] - M[4] + M[8]};
+  // cyclic Jacobi eigen decomposition of symmetric 4x4
+  double V[16] = {1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1};
+  for (int sweep = 0; sweep < 50; ++sweep) {
+    double off = 0;
+    for (int p = 0; p < 4; ++p)
+      for (int q = p + 1; q < 4; ++q) off += N[p * 4 + q] * N[p * 4 + q];
+    if (off < 1e-22) break;
+    for (int p = 0; p < 4; ++p)
+      for (int q = p + 1; q < 4; ++q) {
+        const double apq = N[p * 4 + q];
+        if (std::fabs(apq) < 1e-300) continue;
+        const double app = N[p * 4 + p], aqq = N[q * 4 + q];
+        const double phi = 0.5 * std::atan2(2 * apq, aqq - app);
+        const double c = std::cos(phi), s = std::sin(phi);
+        for (int k = 0; k < 4; ++k) {
+          const double nkp = N[k * 4 + p], nkq = N[k * 4 + q];
+          N[k * 4 + p] = c * nkp - s * nkq;
+          N[k * 4 + q] = s * nkp + c * nkq;
+        }
+        for (int k = 0; k < 4; ++k) {
+          const double npk = N[p * 4 + k], nqk = N[q * 4 + k];
+          N[p * 4 + k] = c * npk - s * nqk;
+          N[q * 4 + k] = s * npk + c * nqk;
+          const double vkp = V[k * 4 + p], vkq = V[k * 4 + q];
+          V[k * 4 + p] = c * vkp - s * vkq;
+          V[k * 4 + q] = s * vkp + c * vkq;
+        }
+      }
+  }
+  int best = 0;
+  for (int i = 1; i < 4; ++i)
+    if (N[i * 4 + i] > N[best * 4 + best]) best = i;
+  const double qw = V[0 * 4 + best], qx = V[1 * 4 + best],
+               qy = V[2 * 4 + best], qz = V[3 * 4 + best];
+  T = Mat4::identity();
+  T.m[0] = qw * qw + qx * qx - qy * qy - qz * qz;
+  T.m[1] = 2 * (qx * qy - qw * qz);
+  T.m[2] = 2 * (qx * qz + qw * qy);
+  T.m[4] = 2 * (qx * qy + qw * qz);
+  T.m[5] = qw * qw - qx * qx + qy * qy - qz * qz;
+  T.m[6] = 2 * (qy * qz - qw * qx);
+  T.m[8] = 2 * (qx * qz - qw * qy);
+  T.m[9] = 2 * (qy * qz + qw * qx);
+  T.m[10] = qw * qw - qx * qx - qy * qy + qz * qz;
+  T.m[3] = cb.x - (T.m[0] * ca.x + T.m[1] * ca.y + T.m[2] * ca.z);
+  T.m[7] = cb.y - (T.m[4] * ca.x + T.m[5] * ca.y + T.m[6] * ca.z);
+  T.m[11] = cb.z - (T.m[8] * ca.x + T.m[9] * ca.y + T.m[10] * ca.z);
+  return true;
+}
+
+inline double pair_err(const Mat4& T, const Vec3& a, const Vec3& b) {
+  const double ex = T.m[0] * a.x + T.m[1] * a.y + T.m[2] * a.z + T.m[3] - b.x;
+  const double ey = T.m[4] * a.x + T.m[5] * a.y + T.m[6] * a.z + T.m[7] - b.y;
+  const double ez = T.m[8] * a.x + T.m[9] * a.y + T.m[10] * a.z + T.m[11] - b.z;
+  return std::sqrt(ex * ex + ey * ey + ez * ez);
+}
+
+// Match ref corners into the current frame and solve T_ref<-cur such that
+// P_ref ~= T * P_cur.  Returns false when tracking is not trustworthy.
+bool feature_track(const Camera& cam, const RefFrame& ref,
+                   const std::vector<float>& gray,
+                   const std::vector<float>& depth, Mat4& T_ref_cur,
+                   int* n_inliers_out) {
+  if (!cam.valid || !ref.valid) return false;
+  std::vector<Corner> cur;
+  shi_tomasi(gray, cam.W, cam.H, cur);
+  if (cur.size() < 16 || ref.corners.size() < 16) return false;
+
+  const int radius = std::max(cam.W, cam.H) / 6;
+  std::vector<Vec3> pc, pr;  // matched 3D points (current / reference)
+  for (const Corner& rc : ref.corners) {
+    Vec3 p_ref;
+    if (!lift(cam, ref.depth, rc.u, rc.v, p_ref)) continue;
+    float best = 0.62f, second = 0.f;
+    const Corner* bc = nullptr;
+    for (const Corner& cc : cur) {
+      if (std::abs(cc.u - rc.u) > radius || std::abs(cc.v - rc.v) > radius)
+        continue;
+      const float s = zncc(ref.gray, rc.u, rc.v, gray, cc.u, cc.v, cam.W);
+      if (s > best) { second = best; best = s; bc = &cc; }
+      else if (s > second) second = s;
+    }
+    if (!bc) continue;
+    if (second > 0.62f && second > 0.98f * best) continue;  // ambiguous
+    Vec3 p_cur;
+    if (!lift(cam, depth, bc->u, bc->v, p_cur)) continue;
+    pr.push_back(p_ref);
+    pc.push_back(p_cur);
+  }
+  const int n = static_cast<int>(pc.size());
+  if (n < 12) return false;
+
+  // RANSAC over 3-point Horn hypotheses
+  uint64_t rng = 0x9e3779b97f4a7c15ULL;
+  auto rnd = [&rng]() {
+    rng ^= rng << 13; rng ^= rng >> 7; rng ^= rng << 17;
+    return rng;
+  };
+  const double tol = 0.05;
+  std::vector<int> best_inliers;
+  for (int it = 0; it < 250; ++it) {
+    int i0 = rnd() % n, i1 = rnd() % n, i2 = rnd() % n;
+    if (i0 == i1 || i1 == i2 || i0 == i2) continue;
+    Mat4 T;
+    if (!horn_align(pc, pr, {i0, i1, i2}, T)) continue;
+    std::vector<int> inl;
+    for (int k = 0; k < n; ++k)
+      if (pair_err(T, pc[k], pr[k]) < tol) inl.push_back(k);
+    if (inl.size() > best_inliers.size()) best_inliers = std::move(inl);
+  }
+  if (static_cast<int>(best_inliers.size()) < 12 ||
+      best_inliers.size() < 0.3 * n)
+    return false;
+  // refit on the consensus set, then once more on its tightened inliers
+  Mat4 T;
+  if (!horn_align(pc, pr, best_inliers, T)) return false;
+  std::vector<int> tight;
+  for (int k = 0; k < n; ++k)
+    if (pair_err(T, pc[k], pr[k]) < 0.6 * tol) tight.push_back(k);
+  if (tight.size() >= 6) horn_align(pc, pr, tight, T);
+  T_ref_cur = T;
+  if (n_inliers_out) *n_inliers_out = static_cast<int>(best_inliers.size());
+  return true;
+}
+
 struct Backend {
   std::mutex mu;
   std::vector<Mat4> poses;       // c2w per processed frame
@@ -97,7 +379,24 @@ struct Backend {
   bool use_icp = true;
   bool running = false;
 
+  Camera cam;
+  RefFrame ref;                  // last tracked frame (feature reference)
+  bool last_track_ok = false;
+  int last_inliers = 0;
+
   void relax(int iterations);
+
+  // refresh the feature reference frame from raw sensor data
+  void store_ref(const uint8_t* color, const uint16_t* depth,
+                 const Mat4& pose) {
+    if (!cam.valid || color == nullptr || depth == nullptr) return;
+    ref.W = cam.W; ref.H = cam.H;
+    to_gray(color, cam.W, cam.H, ref.gray);
+    depth_to_metres(depth, cam.W, cam.H, cam.depth_scale, ref.depth);
+    shi_tomasi(ref.gray, cam.W, cam.H, ref.corners);
+    ref.c2w = pose;
+    ref.valid = true;
+  }
 };
 
 // Pose-graph relaxation: odometry chain constraints (consecutive poses,
@@ -187,15 +486,29 @@ void pb_shutdown(void* h) {
   b->running = false;
 }
 
-void pb_process_image_rgbd(void* h, double timestamp) {
+// Camera intrinsics + raw-depth scale; required before feature tracking
+// can do anything (without it track_with_orb_feature degrades to pose-hold).
+void pb_set_camera(void* h, double fx, double fy, double cx, double cy,
+                   int width, int height, double depth_scale) {
+  auto* b = static_cast<Backend*>(h);
+  std::lock_guard<std::mutex> g(b->mu);
+  b->cam = {fx, fy, cx, cy, width, height, depth_scale, true};
+}
+
+// color: u8 [H, W, 3] rgb or null; depth: u16 raw or null.
+void pb_process_image_rgbd(void* h, const uint8_t* color,
+                           const uint16_t* depth, double timestamp) {
   auto* b = static_cast<Backend*>(h);
   std::lock_guard<std::mutex> g(b->mu);
   b->poses.push_back(Mat4::identity());
   b->stamps.push_back(timestamp);
+  b->store_ref(color, depth, b->poses.back());
 }
 
 // pose_rel: row-major 4x4 float32, T_{prev<-curr}
-void pb_track_with_icp_pose(void* h, const float* pose_rel, double timestamp) {
+void pb_track_with_icp_pose(void* h, const uint8_t* color,
+                            const uint16_t* depth, const float* pose_rel,
+                            double timestamp) {
   auto* b = static_cast<Backend*>(h);
   std::lock_guard<std::mutex> g(b->mu);
   Mat4 rel{};
@@ -203,14 +516,50 @@ void pb_track_with_icp_pose(void* h, const float* pose_rel, double timestamp) {
   Mat4 prev = b->poses.empty() ? Mat4::identity() : b->poses.back();
   b->poses.push_back(matmul(prev, rel));
   b->stamps.push_back(timestamp);
+  b->last_track_ok = true;
+  // ICP-accepted frames refresh the feature reference, so a later failure
+  // matches against the most recent good view (reference keeps ORB state
+  // per frame the same way)
+  b->store_ref(color, depth, b->poses.back());
 }
 
-void pb_track_with_orb_feature(void* h, double timestamp) {
+// Pure feature tracking: the ICP-failure fallback (reference
+// tracker.py:236-240).  With images + intrinsics it solves the pose from
+// corner matches; without them it holds the previous pose.
+void pb_track_with_orb_feature(void* h, const uint8_t* color,
+                               const uint16_t* depth, double timestamp) {
   auto* b = static_cast<Backend*>(h);
   std::lock_guard<std::mutex> g(b->mu);
   Mat4 prev = b->poses.empty() ? Mat4::identity() : b->poses.back();
-  b->poses.push_back(prev);
+  Mat4 pose = prev;
+  b->last_track_ok = false;
+  b->last_inliers = 0;
+  if (b->cam.valid && color != nullptr && depth != nullptr && b->ref.valid) {
+    std::vector<float> gray, depth_m;
+    to_gray(color, b->cam.W, b->cam.H, gray);
+    depth_to_metres(depth, b->cam.W, b->cam.H, b->cam.depth_scale, depth_m);
+    Mat4 T_ref_cur;
+    if (feature_track(b->cam, b->ref, gray, depth_m, T_ref_cur,
+                      &b->last_inliers)) {
+      pose = matmul(b->ref.c2w, T_ref_cur);
+      b->last_track_ok = true;
+    }
+  }
+  b->poses.push_back(pose);
   b->stamps.push_back(timestamp);
+  if (b->last_track_ok) b->store_ref(color, depth, pose);
+}
+
+int pb_last_track_ok(void* h) {
+  auto* b = static_cast<Backend*>(h);
+  std::lock_guard<std::mutex> g(b->mu);
+  return b->last_track_ok ? 1 : 0;
+}
+
+int pb_last_track_inliers(void* h) {
+  auto* b = static_cast<Backend*>(h);
+  std::lock_guard<std::mutex> g(b->mu);
+  return b->last_inliers;
 }
 
 // T_ij: row-major 4x4 float64 measured relative pose between frames i and j.

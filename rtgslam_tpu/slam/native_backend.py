@@ -22,11 +22,18 @@ class NativePoseBackend:
             "pb_destroy": [ctypes.c_void_p],
             "pb_initialize": [ctypes.c_void_p, ctypes.c_int],
             "pb_shutdown": [ctypes.c_void_p],
-            "pb_process_image_rgbd": [ctypes.c_void_p, ctypes.c_double],
-            "pb_track_with_icp_pose": [ctypes.c_void_p,
+            "pb_set_camera": [ctypes.c_void_p, ctypes.c_double,
+                              ctypes.c_double, ctypes.c_double,
+                              ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_double],
+            "pb_process_image_rgbd": [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_double],
+            "pb_track_with_icp_pose": [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p,
                                        ctypes.POINTER(ctypes.c_float),
                                        ctypes.c_double],
-            "pb_track_with_orb_feature": [ctypes.c_void_p, ctypes.c_double],
+            "pb_track_with_orb_feature": [ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_void_p, ctypes.c_double],
             "pb_add_loop_constraint": [ctypes.c_void_p, ctypes.c_int,
                                        ctypes.c_int,
                                        ctypes.POINTER(ctypes.c_double),
@@ -39,6 +46,10 @@ class NativePoseBackend:
             getattr(self._lib, name).argtypes = argtypes
         self._lib.pb_trajectory_size.restype = ctypes.c_int
         self._lib.pb_trajectory_size.argtypes = [ctypes.c_void_p]
+        self._lib.pb_last_track_ok.restype = ctypes.c_int
+        self._lib.pb_last_track_ok.argtypes = [ctypes.c_void_p]
+        self._lib.pb_last_track_inliers.restype = ctypes.c_int
+        self._lib.pb_last_track_inliers.argtypes = [ctypes.c_void_p]
         self._lib.pb_keyframe_size.restype = ctypes.c_int
         self._lib.pb_keyframe_size.argtypes = [ctypes.c_void_p]
         self._h = self._lib.pb_create()
@@ -59,18 +70,47 @@ class NativePoseBackend:
     def shutdown(self) -> None:
         self._lib.pb_shutdown(self._h)
 
+    def set_camera(self, K: np.ndarray, width: int, height: int,
+                   depth_scale: float = 1000.0) -> None:
+        """Intrinsics + raw-depth scale; required for real feature tracking
+        (without it track_with_orb_feature degrades to pose-hold)."""
+        K = np.asarray(K, np.float64)
+        self._lib.pb_set_camera(self._h, float(K[0, 0]), float(K[1, 1]),
+                                float(K[0, 2]), float(K[1, 2]),
+                                int(width), int(height), float(depth_scale))
+
+    @staticmethod
+    def _img_ptrs(color, depth):
+        """(color_u8 [H,W,3], depth_u16) -> C pointers; None -> null."""
+        if color is None or depth is None:
+            return None, None, ctypes.c_void_p(), ctypes.c_void_p()
+        c = np.ascontiguousarray(color, dtype=np.uint8)
+        d = np.ascontiguousarray(depth, dtype=np.uint16)
+        return (c, d, ctypes.c_void_p(c.ctypes.data),
+                ctypes.c_void_p(d.ctypes.data))
+
     def process_image_rgbd(self, color, depth, timestamp: float) -> None:
-        self._lib.pb_process_image_rgbd(self._h, float(timestamp))
+        c, d, cp, dp = self._img_ptrs(color, depth)
+        self._lib.pb_process_image_rgbd(self._h, cp, dp, float(timestamp))
 
     def track_with_icp_pose(self, color, depth, pose_rel: np.ndarray,
                             timestamp: float) -> None:
         arr = np.ascontiguousarray(pose_rel, dtype=np.float32)
+        c, d, cp, dp = self._img_ptrs(color, depth)
         self._lib.pb_track_with_icp_pose(
-            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._h, cp, dp,
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             float(timestamp))
 
     def track_with_orb_feature(self, color, depth, timestamp: float) -> None:
-        self._lib.pb_track_with_orb_feature(self._h, float(timestamp))
+        c, d, cp, dp = self._img_ptrs(color, depth)
+        self._lib.pb_track_with_orb_feature(self._h, cp, dp, float(timestamp))
+
+    def last_track_ok(self) -> bool:
+        return bool(self._lib.pb_last_track_ok(self._h))
+
+    def last_track_inliers(self) -> int:
+        return int(self._lib.pb_last_track_inliers(self._h))
 
     def add_loop_constraint(self, i: int, j: int, T_ij: np.ndarray,
                             weight: float = 1.0, iterations: int = 50) -> None:

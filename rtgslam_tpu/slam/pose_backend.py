@@ -23,6 +23,11 @@ This module provides:
   * :func:`create_backend` — loads the native backend if the shared library
     built from ``native/pose_backend`` is present, else the fake.
 
+The NATIVE backend's ``track_with_orb_feature`` is REAL feature tracking
+(Shi-Tomasi + ZNCC matching + depth-lifted RANSAC/Horn,
+``native/pose_backend.cc::feature_track`` — the role ORB tracking plays in
+the reference); the fake's pose-hold is a deliberate test shim only.
+
 A real TPU deployment keeps this backend on the host CPU exactly like the
 reference does — poses are 4x4 matrices and cost nothing to transfer.
 """
@@ -116,6 +121,19 @@ class FakePoseBackend:
     # -- lifecycle ---------------------------------------------------------
     def set_use_viewer(self, flag: bool) -> None:
         pass
+
+    def set_camera(self, K, width: int, height: int,
+                   depth_scale: float = 1000.0) -> None:
+        """API parity with the native backend (which needs intrinsics for
+        feature tracking); the fake's pose-hold needs none."""
+        self._camera = (np.asarray(K, np.float64), int(width), int(height),
+                        float(depth_scale))
+
+    def last_track_ok(self) -> bool:
+        return False
+
+    def last_track_inliers(self) -> int:
+        return 0
 
     def initialize(self, useicp: bool) -> None:
         self._use_icp = useicp

@@ -208,6 +208,7 @@ class Tracker:
             self.loop_closer = LoopCloser(args)
         self._loops = []                 # fused-path pose-graph constraints
         self._corrected_poses = None     # pending relaxed history for mapper
+        self._backend_camera_set = False
         self._prev_depth = None          # previous frame's filtered depth
         self._model_feedback = None      # (render_d, frame_d, render_n, frame_n)
         self._last_rel_dev = None
@@ -220,6 +221,14 @@ class Tracker:
         K = jnp.asarray(frame.intrinsic)
         if self.K is None:
             self.K = K
+        if self.use_orb_backend and not self._backend_camera_set:
+            # intrinsics + raw-depth scale enable the backend's real
+            # feature tracking (native/pose_backend.cc feature_track)
+            set_cam = getattr(self.orb_backend, "set_camera", None)
+            if set_cam is not None:
+                set_cam(np.asarray(frame.intrinsic), frame.image_width,
+                        frame.image_height, frame.depth_scale)
+            self._backend_camera_set = True
         self.curr_frame = {
             "frame_id": frame_id,
             "timestamp": frame.timestamp,
