@@ -216,25 +216,32 @@ def optimize_chain(
         state, unstable_mask(state) if local else stable_mask(state))
 
     def make_masks(cam):
-        out = _render_impl.__wrapped__(
-            mask_gauss, cam["w2c"], cam["K"], cam["campos"], None,
-            settings, False, False)
-        T = out["T_map"][..., 0]
-        if local:
-            # rmask is NOT intersected with the tile mask, so loss pixels in
-            # skipped (<50%-coverage) tiles see background renders —
-            # reference parity: evaluate_render_range returns the raw
-            # transmission mask alongside the pooled tile mask and
-            # loss_update consumes it as-is (mapper.py:503-505, :371-468)
-            rmask = T != 1.0
-            tile = preprocess.transmission_to_tilemask(rmask, 16, 0.5)
-        elif sample_ratio > 0:
+        if sample_ratio > 0 and not local:
+            # the color-error tile selection needs the rendered colors
+            out = _render_impl.__wrapped__(
+                mask_gauss, cam["w2c"], cam["K"], cam["campos"], None,
+                settings, False, False)
             err = jnp.sum(jnp.abs(out["render"] - cam["gt_color"]), axis=-1)
             err = jnp.where(jnp.sum(out["render"], axis=-1) == 0, 0.0, err)
             tile = preprocess.colorerror_to_tilemask(err, 16, sample_ratio)
             rmask = preprocess.tilemask_to_pixelmask(tile, H, W)
+            return rmask, tile
+        # transmission-only masks: the light render variant (same alpha
+        # math, no color/depth/shade) — the only consumer is T != 1
+        from ..ops.rasterize.api import render_transmission
+
+        out = render_transmission.__wrapped__(
+            mask_gauss, cam["w2c"], cam["K"], cam["campos"], settings)
+        T = out["T_map"][..., 0]
+        # rmask is NOT intersected with the tile mask, so loss pixels in
+        # skipped (<50%-coverage) tiles see background renders —
+        # reference parity: evaluate_render_range returns the raw
+        # transmission mask alongside the pooled tile mask and
+        # loss_update consumes it as-is (mapper.py:503-505, :371-468)
+        rmask = T != 1.0
+        if local:
+            tile = preprocess.transmission_to_tilemask(rmask, 16, 0.5)
         else:
-            rmask = T != 1.0
             tile = jnp.ones(((H + 15) // 16, (W + 15) // 16), jnp.int32)
         return rmask, tile
 

@@ -44,6 +44,8 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
 
     q_norm = jnp.sum(query * query, axis=-1, keepdims=True)      # [Q, 1]
 
+    col = jax.lax.broadcasted_iota(jnp.int32, (Q, chunk), 1)
+
     def body(carry, c):
         best_d, best_i = carry
         r = jax.lax.dynamic_slice(ref_p, (c * chunk, 0), (chunk, 3))
@@ -55,11 +57,30 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
                         preferred_element_type=jnp.float32)
         d2 = q_norm + r_norm[None, :] - 2.0 * cross               # [Q, C]
         d2 = jnp.where(v[None, :], jnp.maximum(d2, 0.0), jnp.inf)
-        idx = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (Q, chunk), 1)
 
-        cat_d = jnp.concatenate([best_d, d2], axis=1)
-        cat_i = jnp.concatenate([best_i, idx], axis=1)
-        neg_top, pos = jax.lax.top_k(-cat_d, k)                   # ascending k best
+        # Chunk-local k-smallest via k iterative min-extractions (first
+        # column wins ties, then is masked out) — NOT top_k over the
+        # [Q, k+chunk] concat: XLA lowers that to an O(log^2) multi-pass
+        # sort whose materialized passes measured ~10 GB per chunk in the
+        # optimized HLO (scripts/hlo_traffic.py); the extraction passes are
+        # O(k) sweeps over [Q, chunk] and fuse.
+        work = d2
+        cand_d, cand_i = [], []
+        for _ in range(k):
+            m = jnp.min(work, axis=1)                             # [Q]
+            mi = jnp.min(jnp.where(work == m[:, None], col, chunk),
+                         axis=1)                                  # first min
+            cand_d.append(m)
+            cand_i.append(c * chunk + mi)
+            work = jnp.where(col == mi[:, None], jnp.inf, work)
+        cd = jnp.stack(cand_d, axis=1)                            # [Q, k]
+        ci = jnp.stack(cand_i, axis=1).astype(jnp.int32)
+
+        # merge with the carried best: tiny [Q, 2k] top_k (earlier chunks
+        # listed first, so stable tie-breaks preserve ascending index order)
+        cat_d = jnp.concatenate([best_d, cd], axis=1)
+        cat_i = jnp.concatenate([best_i, ci], axis=1)
+        neg_top, pos = jax.lax.top_k(-cat_d, k)
         new_d = -neg_top
         new_i = jnp.take_along_axis(cat_i, pos, axis=1)
         return (new_d, new_i), None

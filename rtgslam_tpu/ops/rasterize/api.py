@@ -46,12 +46,16 @@ class RasterSettings:
     block_capacity: int = 4096
     tile_capacity: int = 1024
     max_visible: int = 131072
-    # Pallas TPU blend kernels (grid = tiles, per-tile early exit): used for
-    # inference renders, AND — when use_fused_vjp is also set — for both
-    # directions of the differentiable blend (pallas_blend.blend_bwd_pallas
-    # via blend._fused_bwd).  `pallas_interpret` runs them in interpreter
-    # mode (CPU tests).
+    # Pallas TPU blend kernels (grid = tiles, per-tile early exit):
+    # `use_pallas` drives INFERENCE renders (compiled-proven on v5e:
+    # bitwise color parity, PERF.md); `use_pallas_vjp` additionally runs
+    # BOTH directions of the differentiable blend as Pallas kernels
+    # (pallas_blend.blend_bwd_pallas via blend._fused_bwd) — kept separate
+    # because the backward's Mosaic compile is proven only in interpreter
+    # mode so far (PERF.md trail).  `pallas_interpret` runs kernels in
+    # interpreter mode (CPU tests).
     use_pallas: bool = False
+    use_pallas_vjp: bool = False
     pallas_interpret: bool = False
     # custom-VJP blend for the optimize loop: early-exit forward + hand-
     # written back-to-front backward (blend.blend_tiles_fused) instead of
@@ -65,6 +69,16 @@ class RasterSettings:
         sh_degree = args.active_sh_degree
         if sh_degree < 0:
             sh_degree = args.max_sh_degree
+        # use_pallas_blend: "auto" enables the Pallas TPU kernels on a TPU
+        # backend and falls back to the XLA blend elsewhere.  Default is
+        # False: the kernel is compiled-PROVEN on v5e but measured 3.5x
+        # slower than the XLA blend at the bench operating point (PERF.md
+        # "Pallas on the TPU target") — the serial per-tile grid loses to
+        # XLA's batched-tiles formulation on this workload.
+        def _resolve_auto(v):
+            return jax.default_backend() == "tpu" if isinstance(v, str) else v
+
+        use_pallas = _resolve_auto(getattr(args, "use_pallas_blend", False))
         return cls(
             height=height,
             width=width,
@@ -77,7 +91,9 @@ class RasterSettings:
             block_capacity=getattr(args, "block_capacity", 4096),
             tile_capacity=getattr(args, "tile_capacity", 1024),
             max_visible=getattr(args, "max_visible", 131072),
-            use_pallas=bool(getattr(args, "use_pallas_blend", False)),
+            use_pallas=bool(use_pallas),
+            use_pallas_vjp=bool(_resolve_auto(
+                getattr(args, "use_pallas_vjp", False))),
             pallas_interpret=bool(getattr(args, "pallas_interpret", False)),
             use_fused_vjp=bool(getattr(args, "use_fused_vjp", True)),
         )
@@ -137,7 +153,7 @@ def _render_impl(
             feat[bins.tile_lists], order_pad[bins.tile_lists],
             bins.tile_counts, origins,
             settings.opaque_threshold, settings.T_threshold,
-            settings.use_pallas, settings.pallas_interpret,
+            settings.use_pallas_vjp, settings.pallas_interpret,
         )
     else:
         tiles = blend.blend_tiles(
@@ -179,6 +195,50 @@ def _render_impl(
         "T_map": T_map,
         "overflow": bins.overflow,
     }
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_transmission(
+    gaussians: Dict[str, jnp.ndarray],
+    w2c: jnp.ndarray,
+    K: jnp.ndarray,
+    campos: jnp.ndarray,
+    settings: RasterSettings,
+):
+    """Final-transmittance map only: the cheap render variant behind the
+    optimize loop's partial-render masks (reference evaluate_render_range,
+    mapper.py:471-508, consumes only the transmission in local mode).
+
+    Same projection/binning as the full render; the blend skips color,
+    depth, index and hit-weight bookkeeping and the SH shade, and its
+    per-tile gather carries 6 floats per gaussian instead of 11.
+    Returns {"T_map": [H, W, 1], "overflow": scalar}.
+    """
+    H, W = settings.height, settings.width
+    geo = project_geometry(
+        gaussians["xyz"], gaussians["scales"], gaussians["rotations"],
+        gaussians["alive"], w2c, K, W, H, settings.scale_modifier,
+    )
+    bins = binning.bin_gaussians(
+        geo, H, W,
+        block_capacity=settings.block_capacity,
+        tile_capacity=settings.tile_capacity,
+        max_visible=settings.max_visible,
+        tile_mask=None,
+    )
+    order = bins.order
+    feat = jnp.concatenate([
+        geo.mean2d[order], geo.conic[order],
+        # opacity 0 for the sentinel row: alpha contribution exactly none
+        gaussians["opacity"].reshape(-1)[order][:, None],
+    ], axis=-1)
+    feat = jnp.concatenate([feat, jnp.zeros((1, 6), feat.dtype)], axis=0)
+    T = blend.blend_transmission(
+        feat[bins.tile_lists], bins.tile_counts, binning.tile_origins(H, W),
+        T_threshold=settings.T_threshold)
+    T_map = binning.scatter_tiles(
+        T.reshape(T.shape[0], blend.TILE * blend.TILE, 1), H, W)
+    return {"T_map": T_map, "overflow": bins.overflow}
 
 
 def render(

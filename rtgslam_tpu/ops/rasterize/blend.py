@@ -85,8 +85,12 @@ def _chunk_alphas(feat_chunk, pix, opaque_threshold):
     opa = feat_chunk[:, 9]
     elig = feat_chunk[:, 10] > 0.5
 
-    d = pix[:, None, :] - mean2d[None, :, :]             # [256, C, 2]
-    dx, dy = d[..., 0], d[..., 1]
+    # dx/dy as two [256, C] tensors: stacking them as [256, C, 2] puts a
+    # size-2 axis minor-most, and the materialized (vmapped-over-tiles)
+    # intermediate measured ~100 MB per chunk step in the optimized HLO
+    # (scripts/hlo_traffic.py) — the single largest traffic source
+    dx = pix[:, None, 0] - mean2d[None, :, 0]
+    dy = pix[:, None, 1] - mean2d[None, :, 1]
     power = -0.5 * (conic[None, :, 0] * dx * dx + conic[None, :, 2] * dy * dy) \
         - conic[None, :, 1] * dx * dy
     alpha = opa[None, :] * jnp.exp(jnp.minimum(power, 0.0))
@@ -248,6 +252,61 @@ def blend_tiles_pregathered(
 
 
 # ---------------------------------------------------------------------------
+# transmission-only blend (mask renders)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def blend_transmission(
+    tile_feat: jnp.ndarray,    # [T, Kt, 6]: mean2d, conic, opacity
+    tile_counts: jnp.ndarray,  # [T]
+    origins: jnp.ndarray,      # [T, 2]
+    T_threshold: float = 1e-4,
+) -> jnp.ndarray:
+    """Per-pixel final transmittance ONLY — the piece the optimize loop's
+    partial-render masks consume (reference ``evaluate_render_range``,
+    mapper.py:471-508, uses the render's transmission map and nothing else
+    in local mode).  Identical alpha math and early-exit rule as the full
+    blend, minus color/depth/index bookkeeping and the SH shade — and the
+    per-tile gather carries 6 floats per gaussian instead of 11.
+
+    Exactness pinned by test_rasterizer.py::test_transmission_only_matches:
+    the mask (T != 1) is exact — T == 1.0 iff every alpha is exactly 0 on
+    both paths — and T itself agrees to reduction-order rounding.
+    """
+    Kt = tile_feat.shape[1]
+    chunk = min(CHUNK, Kt)
+
+    def run_tile(tfeat, count, origin):
+        pix = _tile_pixels(origin)
+        active_chunks = (count + chunk - 1) // chunk
+
+        def cond(state):
+            c, T = state
+            return (c < active_chunks) & (jnp.max(T) > T_threshold)
+
+        def step(state):
+            c, T = state
+            feat = jax.lax.dynamic_slice_in_dim(tfeat, c * chunk, chunk, axis=0)
+            mean2d, conic, opa = feat[:, 0:2], feat[:, 2:5], feat[:, 5]
+            dx = pix[:, None, 0] - mean2d[None, :, 0]
+            dy = pix[:, None, 1] - mean2d[None, :, 1]
+            power = -0.5 * (conic[None, :, 0] * dx * dx
+                            + conic[None, :, 2] * dy * dy) \
+                - conic[None, :, 1] * dx * dy
+            alpha = opa[None, :] * jnp.exp(jnp.minimum(power, 0.0))
+            alpha = jnp.where(power > 0, 0.0, alpha)
+            alpha = jnp.minimum(alpha, ALPHA_MAX)
+            alpha = jnp.where(alpha < ALPHA_EPS, 0.0, alpha)
+            return c + 1, T * jnp.prod(1.0 - alpha, axis=1)
+
+        _, T = jax.lax.while_loop(
+            cond, step, (jnp.int32(0), jnp.ones(TILE * TILE)))
+        return T
+
+    return jax.vmap(run_tile)(tile_feat, tile_counts, origins)
+
+
+# ---------------------------------------------------------------------------
 # custom-VJP fused blend: early-exit forward AND hand-written backward
 # ---------------------------------------------------------------------------
 #
@@ -281,8 +340,8 @@ def _chunk_alphas_vjp(feat_chunk, pix, opaque_threshold):
     opa = feat_chunk[:, 9]
     elig = feat_chunk[:, 10] > 0.5
 
-    d = pix[:, None, :] - mean2d[None, :, :]
-    dx, dy = d[..., 0], d[..., 1]
+    dx = pix[:, None, 0] - mean2d[None, :, 0]   # [256, C] (see _chunk_alphas
+    dy = pix[:, None, 1] - mean2d[None, :, 1]   # on why not a [.., 2] stack)
     power = -0.5 * (conic[None, :, 0] * dx * dx + conic[None, :, 2] * dy * dy) \
         - conic[None, :, 1] * dx * dy
     e = jnp.exp(jnp.minimum(power, 0.0))

@@ -225,7 +225,7 @@ def dp_local_optimize(
                                        unstable_mask)
     from ..models.map_ops import capture_history, history_merge
     from ..ops import preprocess
-    from ..ops.rasterize.api import _render_impl
+    from ..ops.rasterize.api import render_transmission
 
     axis = mesh.axis_names[0]
     params = state.params()
@@ -245,8 +245,8 @@ def dp_local_optimize(
     )
     def run(params, colors, depths, normals, w2cs, Ks, camposes):
         cam_w2c, cam_K, campos = w2cs[0], Ks[0], camposes[0]
-        out = _render_impl.__wrapped__(
-            mask_gauss, cam_w2c, cam_K, campos, None, settings, False, False)
+        out = render_transmission.__wrapped__(
+            mask_gauss, cam_w2c, cam_K, campos, settings)
         # raw transmission mask feeds the loss, pooled mask gates tiles —
         # reference parity as in optimize_chain's make_masks
         rmask = out["T_map"][..., 0] != 1.0

@@ -278,3 +278,41 @@ def test_capacity_invariance_when_no_overflow():
             np.testing.assert_array_equal(
                 np.asarray(base[k]), np.asarray(out[k]),
                 err_msg=f"{k} differs at {kwargs}")
+
+
+def test_transmission_only_matches_full_render():
+    """The mask-render variant (render_transmission) must produce the same
+    occupancy mask (T != 1) as the full render's T_map — it is what the
+    optimize loop's partial-render masks consume — and agree on T itself to
+    reduction-order rounding."""
+    from rtgslam_tpu.ops.rasterize.api import render_transmission
+
+    g, cam, st = make_scene(P=96, n_alive=24, seed=5)
+    full = render(g, cam, st)
+    light = render_transmission(g, cam["w2c"], cam["K"], cam["campos"], st)
+    T_full = np.asarray(full["T_map"])[..., 0]
+    T_light = np.asarray(light["T_map"])[..., 0]
+    assert np.array_equal(T_full != 1.0, T_light != 1.0)
+    assert np.allclose(T_full, T_light, atol=1e-6)
+    assert int(light["overflow"]) == int(full["overflow"])
+
+
+def test_optimize_masks_unchanged_by_light_render(tiny_map_state=None):
+    """optimize_chain's local-mode masks (now computed by the light render)
+    must leave the optimization result identical to a run whose masks come
+    from the full render — pinned by comparing against masks recomputed
+    here with the full render path."""
+    from rtgslam_tpu.ops import preprocess
+    from rtgslam_tpu.ops.rasterize.api import render_transmission
+
+    g, cam, st = make_scene(P=96, n_alive=24, seed=7)
+    full = render(g, cam, st)
+    rmask_full = np.asarray(full["T_map"])[..., 0] != 1.0
+    tile_full = np.asarray(preprocess.transmission_to_tilemask(
+        jnp.asarray(rmask_full), 16, 0.5))
+    light = render_transmission(g, cam["w2c"], cam["K"], cam["campos"], st)
+    rmask_light = np.asarray(light["T_map"])[..., 0] != 1.0
+    tile_light = np.asarray(preprocess.transmission_to_tilemask(
+        jnp.asarray(rmask_light), 16, 0.5))
+    assert np.array_equal(rmask_full, rmask_light)
+    assert np.array_equal(tile_full, tile_light)
