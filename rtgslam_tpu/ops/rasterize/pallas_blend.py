@@ -71,9 +71,13 @@ def _kernel(count_ref, origin_ref, feat_ref, gidx_ref,
 
     n_chunks = (count_ref[t] + CHUNK - 1) // CHUNK
 
-    # state lives in the output refs; chunks are a STATIC unrolled loop with
-    # per-chunk predication (Mosaic has no dynamic_slice on values, and
-    # pl.when gives the same early-exit effect as a while_loop).
+    # State lives in the output refs.  Chunks advance inside a
+    # ``lax.while_loop`` with REF-based dynamic slices on the sublane dim
+    # (supported by Mosaic; value-space dynamic_slice and lane-dim dynamic
+    # indexing are not — gidx is therefore passed [n_chunks, CHUNK]).  A
+    # static unrolled loop + pl.when compiles the same math, but the remote
+    # Mosaic compile time explodes with unroll depth (a Kt=1024 kernel did
+    # not converge in 25 min; the while form compiles like the 1-chunk one).
     # Output layouts put the 256-pixel axis last (the TPU lane dimension):
     # trailing dims of size 1/3 would be lane-padded to 128 and blow VMEM.
     color_ref[0, :, :] = jnp.zeros((3, NPIX), jnp.float32)
@@ -87,12 +91,13 @@ def _kernel(count_ref, origin_ref, feat_ref, gidx_ref,
     # rows of unprocessed chunks stay 0, processed rows are > t_threshold
     entry_ref[0, :, :] = jnp.zeros((n_chunks_static, NPIX), jnp.float32)
 
-    for c in range(n_chunks_static):
-        @pl.when((c < n_chunks) & (jnp.max(T_ref[0, 0, :]) > t_threshold))
-        def _(c=c):
-            entry_ref[0, c, :] = T_ref[0, 0, :]
-            feat = feat_ref[0, c * CHUNK:(c + 1) * CHUNK, :]   # [C, 11]
-            gidx = gidx_ref[0, 0, c * CHUNK:(c + 1) * CHUNK]   # [C]
+    def cond(c):
+        return (c < n_chunks) & (jnp.max(T_ref[0, 0, :]) > t_threshold)
+
+    def step(c):
+            entry_ref[0, pl.ds(c, 1), :] = T_ref[0, 0, :][None]
+            feat = feat_ref[0, pl.ds(c * CHUNK, CHUNK), :]     # [C, 11]
+            gidx = gidx_ref[0, pl.ds(c, 1), :][0]              # [C]
             gidx_f = gidx.astype(jnp.float32)
 
             mean_x = feat[:, 0]
@@ -155,6 +160,9 @@ def _kernel(count_ref, origin_ref, feat_ref, gidx_ref,
             # dynamic_slice, which Mosaic doesn't implement
             last = jax.lax.slice_in_dim(cum, CHUNK - 1, CHUNK, axis=1)
             T_ref[0, 0, :] = T * last[:, 0]
+            return c + 1
+
+    jax.lax.while_loop(cond, step, jnp.int32(0))
 
 
 def _prefix_sum(x: jnp.ndarray) -> jnp.ndarray:
@@ -175,16 +183,26 @@ def _bwd_kernel(done_ref, origin_ref, feat_ref, gidx_ref, entry_ref,
                 *, n_chunks_static: int, opaque_threshold: float):
     """Back-to-front gradient walk for one tile (the reference CUDA
     backward's structure, SLAM/render.py:110-133 bwd; math documented in
-    blend.py's fused-VJP section).  Chunks are a static reversed unroll
-    with ``pl.when(c < done)`` predication — unprocessed chunks keep zero
-    gradients, matching the forward's early exit exactly."""
+    blend.py's fused-VJP section).  Chunks run inside a reversed
+    ``lax.while_loop`` starting at the forward's early-exit point (``done``
+    chunks) — unprocessed chunks keep zero gradients, matching the
+    forward's early exit exactly.  (A static reversed unroll compiles the
+    same math, but remote Mosaic compile time explodes with unroll depth —
+    see the forward kernel's note.)"""
     t = pl.program_id(0)
     ri = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)[:, 0]
     px = jnp.mod(ri, TILE).astype(jnp.float32) + origin_ref[t, 0]
     py = (ri // TILE).astype(jnp.float32) + origin_ref[t, 1]
     done = done_ref[t]
 
-    gfeat_ref[0, :, :] = jnp.zeros((n_chunks_static * CHUNK, 11), jnp.float32)
+    # gradient block stored as [n_chunks, 11, CHUNK]: per-gaussian grads
+    # are pixel-axis reductions that Mosaic only supports via explicit
+    # contraction, so each chunk produces an [11, C] block; indexing the
+    # chunk axis (sublane-safe) keeps the store dynamic-friendly (a
+    # dynamic store on the LANE axis of an [11, Kt] layout is rejected).
+    # The caller transposes/reshapes back to [Kt, 11] outside the kernel.
+    gfeat_ref[0, :, :, :] = jnp.zeros(
+        (n_chunks_static, 11, CHUNK), jnp.float32)
     s_ref[0, :] = jnp.zeros((NPIX,), jnp.float32)
 
     gc = gc_ref[0, :, :]        # [NPIX, 3]
@@ -192,11 +210,12 @@ def _bwd_kernel(done_ref, origin_ref, feat_ref, gidx_ref, entry_ref,
     tg = tg_ref[0, 0, :]        # [NPIX]  (T_final * g_T)
     didx = didx_ref[0, 0, :]    # [NPIX] int32
 
-    for c in reversed(range(n_chunks_static)):
-        @pl.when(c < done)
-        def _(c=c):
-            feat = feat_ref[0, c * CHUNK:(c + 1) * CHUNK, :]   # [C, 11]
-            gidx = gidx_ref[0, 0, c * CHUNK:(c + 1) * CHUNK]   # [C]
+    def cond(c):
+        return c >= 0
+
+    def step(c):
+            feat = feat_ref[0, pl.ds(c * CHUNK, CHUNK), :]     # [C, 11]
+            gidx = gidx_ref[0, pl.ds(c, 1), :][0]              # [C]
 
             mean_x = feat[:, 0]
             mean_y = feat[:, 1]
@@ -240,32 +259,49 @@ def _bwd_kernel(done_ref, origin_ref, feat_ref, gidx_ref, entry_ref,
             galpha = T_in * rgbdot - (s_total + tg[:, None]) / one_minus
             galpha = jnp.where(gate, galpha, 0.0)
 
+            # Every per-gaussian gradient is a PIXEL-axis (axis 0 =
+            # sublane) reduction, which Mosaic cannot emit (implicit-dim
+            # multi_reduction over dim 0 is unimplemented, keepdims lowers
+            # to the same op).  Reformulate: concatenate the 7 elementwise
+            # term matrices along lanes and contract the pixel axis with
+            # ONE [1, 256] x [256, 7C] MXU matmul.
+            #
+            # `(didx >= 0)[:, None]` would also trip Mosaic (i1 vectors
+            # can't grow a minor dim); zero the f32 payload instead, which
+            # additionally neutralizes didx == -1 rows matching the -1
+            # gidx sentinels.
             gpow = galpha * alpha
-            gmean_x = jnp.sum(
-                gpow * (con_a[None, :] * dx + con_b[None, :] * dy), axis=0)
-            gmean_y = jnp.sum(
-                gpow * (con_c[None, :] * dy + con_b[None, :] * dx), axis=0)
-            gca = jnp.sum(gpow * (-0.5 * dx * dx), axis=0)
-            gcb = jnp.sum(gpow * (-dx * dy), axis=0)
-            gcc = jnp.sum(gpow * (-0.5 * dy * dy), axis=0)
-            gopa = jnp.sum(galpha * e, axis=0)
-            # grgb[i, :] = sum_px w[px, i] g_C(px, :)   (MXU)
-            grgb = jax.lax.dot_general(
-                w, gc, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [C, 3]
+            hit = opaque & (gidx[None, :] == didx[:, None])
+            gd_valid = jnp.where(didx >= 0, gd, 0.0)
+            ones_row = jnp.ones((1, NPIX), jnp.float32)
 
-            hit = opaque & (gidx[None, :] == didx[:, None]) \
-                & (didx >= 0)[:, None]
-            gz = jnp.sum(jnp.where(hit, gd[:, None], 0.0), axis=0)
+            def pixsum(term):
+                # pixel-axis contraction on the MXU ([1, 256] x [256, C])
+                return jax.lax.dot_general(
+                    ones_row, term, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [1, C]
 
-            gchunk = jnp.concatenate([
-                gmean_x[:, None], gmean_y[:, None],
-                gca[:, None], gcb[:, None], gcc[:, None],
-                gz[:, None], grgb, gopa[:, None],
-                jnp.zeros((CHUNK, 1), jnp.float32),
-            ], axis=-1)
-            gfeat_ref[0, c * CHUNK:(c + 1) * CHUNK, :] = gchunk
+            gmean_x = pixsum(gpow * (con_a[None, :] * dx + con_b[None, :] * dy))
+            gmean_y = pixsum(gpow * (con_c[None, :] * dy + con_b[None, :] * dx))
+            gca = pixsum(gpow * (-0.5 * dx * dx))
+            gcb = pixsum(gpow * (-dx * dy))
+            gcc = pixsum(gpow * (-0.5 * dy * dy))
+            gz = pixsum(jnp.where(hit, gd_valid[:, None], 0.0))
+            gopa = pixsum(galpha * e)
+            # grgb_t[:, i] = sum_px g_C(px, :) w[px, i]   (MXU)  -> [3, C]
+            grgb_t = jax.lax.dot_general(
+                gc, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            gchunk_t = jnp.concatenate([
+                gmean_x, gmean_y, gca, gcb, gcc, gz, grgb_t, gopa,
+                jnp.zeros((1, CHUNK), jnp.float32),
+            ], axis=0)                                         # [11, C]
+            gfeat_ref[0, pl.ds(c, 1), :, :] = gchunk_t[None]
             s_ref[0, :] = s_ref[0, :] + tot[:, 0]
+            return c - 1
+
+    jax.lax.while_loop(cond, step, done - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("opaque_threshold", "interpret"))
@@ -294,33 +330,41 @@ def blend_bwd_pallas(
     def imap(t, d_ref, o_ref):
         return (t, 0, 0)
 
+    def imap4(t, d_ref, o_ref):
+        return (t, 0, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T_tiles,),
         in_specs=[
             pl.BlockSpec((1, Kt, F), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Kt), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_chunks, CHUNK), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_chunks, NPIX), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NPIX, 3), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NPIX), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NPIX), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NPIX), imap, memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((1, Kt, F), imap, memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, n_chunks, F, CHUNK), imap4,
+                                memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((1, NPIX), jnp.float32)],
     )
 
-    (gfeat,) = pl.pallas_call(
+    (gfeat_c,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((T_tiles, Kt, F), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((T_tiles, n_chunks, F, CHUNK),
+                                        jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(done, origins, tile_feat, tile_gidx[:, None, :], entry_T,
+    )(done, origins, tile_feat,
+      tile_gidx.reshape(T_tiles, n_chunks, CHUNK), entry_T,
       g_color, g_depth[:, None, :], tfin_gt[:, None, :],
       depth_index[:, None, :])
-    return gfeat
+    # kernel emits [n_chunks, F, C] per tile (chunk-indexed stores +
+    # contraction-kept rows); transpose/reshape back outside the kernel
+    return jnp.transpose(gfeat_c, (0, 1, 3, 2)).reshape(T_tiles, Kt, F)
 
 
 def _forward_call(tile_feat, tile_gidx, tile_counts, origins,
@@ -342,7 +386,7 @@ def _forward_call(tile_feat, tile_gidx, tile_counts, origins,
         grid=(T_tiles,),
         in_specs=[
             pl.BlockSpec((1, Kt, F), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Kt), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_chunks, CHUNK), imap, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 3, NPIX), imap, memory_space=pltpu.VMEM),
@@ -366,7 +410,8 @@ def _forward_call(tile_feat, tile_gidx, tile_counts, origins,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(tile_counts, origins, tile_feat, tile_gidx[:, None, :])
+    )(tile_counts, origins, tile_feat,
+      tile_gidx.reshape(T_tiles, n_chunks, CHUNK))
 
     color, depth, didx, cidx, dw, cw, Tf, entry = outs
     tiles = TileOutputs(
