@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import binning, blend
-from .project import project_geometry, shade
+from .project import project_geometry, shade_cols
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,16 +124,22 @@ def _render_impl(
         tile_mask=tile_mask if with_tile_mask else None,
     )
 
-    # shade only the depth-sorted visible working set
+    # shade only the depth-sorted visible working set; everything below is
+    # scalar-column SoA (see blend.FeatCols on the TPU layout-padding tax
+    # the stacked [V, 11] form paid)
     order = bins.order
-    rgb, elig = shade(
-        gaussians["xyz"][order], gaussians["shs"][order],
+    P = gaussians["xyz"].shape[0]
+    r, g, b, elig = shade_cols(
+        gaussians["xyz"][order],
+        gaussians["shs"].reshape(P, -1)[order],
         gaussians["normal"][order], campos,
         settings.sh_degree, settings.normal_threshold,
     )
     feat = blend._pack_features((
-        geo.mean2d[order], geo.conic[order], geo.depth[order],
-        rgb, gaussians["opacity"].reshape(-1)[order], elig,
+        geo.mean2d[order, 0], geo.mean2d[order, 1],
+        geo.conic[order, 0], geo.conic[order, 1], geo.conic[order, 2],
+        geo.depth[order], r, g, b,
+        gaussians["opacity"].reshape(-1)[order], elig.astype(jnp.float32),
     ))
     origins = binning.tile_origins(H, W)
     if settings.use_pallas and not differentiable:
@@ -141,7 +147,7 @@ def _render_impl(
 
         order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
         tiles = pallas_blend.blend_tiles_pallas(
-            feat[bins.tile_lists], order_pad[bins.tile_lists],
+            feat.gather(bins.tile_lists).pack(), order_pad[bins.tile_lists],
             bins.tile_counts, origins,
             opaque_threshold=settings.opaque_threshold,
             t_threshold=settings.T_threshold,
@@ -150,7 +156,7 @@ def _render_impl(
     elif differentiable and settings.use_fused_vjp:
         order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
         tiles = blend.blend_tiles_fused(
-            feat[bins.tile_lists], order_pad[bins.tile_lists],
+            feat.gather(bins.tile_lists), order_pad[bins.tile_lists],
             bins.tile_counts, origins,
             settings.opaque_threshold, settings.T_threshold,
             settings.use_pallas_vjp, settings.pallas_interpret,
@@ -227,14 +233,16 @@ def render_transmission(
         tile_mask=None,
     )
     order = bins.order
-    feat = jnp.concatenate([
-        geo.mean2d[order], geo.conic[order],
-        # opacity 0 for the sentinel row: alpha contribution exactly none
-        gaussians["opacity"].reshape(-1)[order][:, None],
-    ], axis=-1)
-    feat = jnp.concatenate([feat, jnp.zeros((1, 6), feat.dtype)], axis=0)
+    zero = jnp.zeros((1,), jnp.float32)
+    # opacity 0 for the sentinel entry: alpha contribution exactly none
+    cols = tuple(
+        jnp.concatenate([col, zero])[bins.tile_lists]
+        for col in (geo.mean2d[order, 0], geo.mean2d[order, 1],
+                    geo.conic[order, 0], geo.conic[order, 1],
+                    geo.conic[order, 2],
+                    gaussians["opacity"].reshape(-1)[order]))
     T = blend.blend_transmission(
-        feat[bins.tile_lists], bins.tile_counts, binning.tile_origins(H, W),
+        cols, bins.tile_counts, binning.tile_origins(H, W),
         T_threshold=settings.T_threshold)
     T_map = binning.scatter_tiles(
         T.reshape(T.shape[0], blend.TILE * blend.TILE, 1), H, W)

@@ -173,12 +173,16 @@ def bin_gaussians(
     tile_pos, tile_counts = _compact_rows(hit_tile, tile_capacity, block_capacity)
     tile_overflow = (tile_total - tile_counts).sum()
 
-    # positions into the block list -> global sorted indices
+    # positions into the block list -> global sorted indices.  ONE flat 1-D
+    # gather: the take_along_axis formulation (block_lists broadcast to
+    # [B, 64, Kb+1]) forced ~600 MB of layout-conversion copies per render
+    # on TPU (PERF.md round-3 layout table).
     block_lists_pad = jnp.concatenate(
         [block_lists, jnp.full((B, 1), V, jnp.int32)], axis=1)
-    tile_lists = jnp.take_along_axis(
-        block_lists_pad[:, None, :].repeat(TILES_PER_BLOCK * TILES_PER_BLOCK, 1),
-        jnp.minimum(tile_pos, block_capacity), axis=2)
+    flat = block_lists_pad.reshape(-1)                       # [B * (Kb+1)]
+    block_of = jax.lax.broadcasted_iota(jnp.int32, tile_pos.shape, 0)
+    tile_lists = flat[block_of * (block_capacity + 1)
+                      + jnp.minimum(tile_pos, block_capacity)]
 
     return Binning(
         tile_lists=tile_lists.reshape(T, tile_capacity),

@@ -6,7 +6,9 @@ chunks of ``CHUNK`` gaussians at once —
 
 * per-chunk alphas form a [256, CHUNK] matrix (VPU elementwise work);
 * the front-to-back transmittance is an *exclusive cumulative product* along
-  the chunk axis (a log-depth scan XLA vectorizes well);
+  the chunk axis, computed in log space by ONE triangular-ones MXU matmul
+  (``_excl_cumlog``) — a ``jnp.cumprod`` would lower to a log-depth
+  associative scan whose log2(C) full-tensor passes dominate HBM traffic;
 * color accumulation is a [256, CHUNK] @ [CHUNK, 3] matmul (MXU).
 
 Three execution modes share the math:
@@ -56,49 +58,121 @@ class TileOutputs(NamedTuple):
     T_final: jnp.ndarray       # [T, 256]
 
 
-def _pack_features(proj_sorted):
-    """Stack sorted per-gaussian blend features into one [P+1, 11] array
-    (one gather per chunk instead of seven); the final row is the sentinel."""
-    mean2d, conic, depth, rgb, opacity, elig = proj_sorted
-    feat = jnp.concatenate([
-        mean2d,                      # 0:2
-        conic,                       # 2:5
-        depth[:, None],              # 5
-        rgb,                         # 6:9
-        opacity[:, None],            # 9
-        elig.astype(jnp.float32)[:, None],  # 10
-    ], axis=-1)
-    sentinel = jnp.zeros((1, feat.shape[-1]), feat.dtype)
-    return jnp.concatenate([feat, sentinel], axis=0)
+class FeatCols(NamedTuple):
+    """Per-gaussian blend features as SEPARATE scalar columns.
+
+    A packed [*, 11] array puts an 11-sized axis minor-most, which TPU
+    layout assignment pads to a full 128-lane register tile — every touch
+    (the per-tile gather, layout copies into the blend loop) moved ~12x its
+    logical bytes (measured ~200 MB/render; PERF.md round-3 layout table).
+    Columns gather/slice/broadcast at their logical size.
+
+    Shapes: [V+1] before tile gathering (last entry = sentinel with
+    opacity 0), [T, Kt] after.
+    """
+
+    mean_x: jnp.ndarray
+    mean_y: jnp.ndarray
+    conic_a: jnp.ndarray
+    conic_b: jnp.ndarray
+    conic_c: jnp.ndarray
+    depth: jnp.ndarray
+    r: jnp.ndarray
+    g: jnp.ndarray
+    b: jnp.ndarray
+    opacity: jnp.ndarray
+    elig: jnp.ndarray            # f32 0/1
+
+    def gather(self, idx: jnp.ndarray) -> "FeatCols":
+        """Tile-gather via ONE packed row gather + ONE transpose.
+
+        Per-column scalar gathers measured 15.5 ms/render on v5e (the TPU
+        gather unit moves ~1 element/cycle — 11 x 196k scalars); gathering
+        [Kt, 11] ROWS vectorizes across lanes (0.24 ms) and the single
+        [T, Kt, 11] -> [11, T, Kt] relayout restores contiguous columns.
+        """
+        rows = jnp.stack(tuple(self), axis=-1)[idx]       # [T, Kt, 11]
+        colsT = jnp.transpose(rows, (2, 0, 1))            # [11, T, Kt]
+        return FeatCols(*(colsT[i] for i in range(11)))
+
+    def pack(self) -> jnp.ndarray:
+        """Stacked [..., 11] layout (the Pallas kernels' input contract)."""
+        return jnp.stack(tuple(self), axis=-1)
+
+    @classmethod
+    def unpack(cls, arr: jnp.ndarray) -> "FeatCols":
+        return cls(*(arr[..., i] for i in range(11)))
 
 
-def _chunk_alphas(feat_chunk, pix, opaque_threshold):
+def _pack_features(proj_sorted) -> FeatCols:
+    """Sorted per-gaussian blend features as sentinel-padded columns; the
+    final entry of every column is the sentinel (opacity/elig 0)."""
+    mean_x, mean_y, conic_a, conic_b, conic_c, depth, r, g, b, opacity, elig \
+        = proj_sorted
+    zero = jnp.zeros((1,), jnp.float32)
+    return FeatCols(*(
+        jnp.concatenate([col.astype(jnp.float32), zero])
+        for col in (mean_x, mean_y, conic_a, conic_b, conic_c, depth,
+                    r, g, b, opacity, elig)))
+
+
+def _chunk_alphas(cols: FeatCols, pix, opaque_threshold):
     """alpha/weight math for one chunk against one tile's pixels.
 
-    feat_chunk [C, 11], pix [256, 2] -> alpha [256, C], rgb [C, 3],
-    z [C], opaque-eligibility [256, C].
+    cols of [C], pix [256, 2] -> alpha [256, C], rgb_t [3, C], z [C],
+    opaque-eligibility [256, C].
     """
-    mean2d = feat_chunk[:, 0:2]
-    conic = feat_chunk[:, 2:5]
-    z = feat_chunk[:, 5]
-    rgb = feat_chunk[:, 6:9]
-    opa = feat_chunk[:, 9]
-    elig = feat_chunk[:, 10] > 0.5
+    z = cols.depth
+    rgb_t = jnp.stack([cols.r, cols.g, cols.b], axis=0)   # [3, C]
+    elig = cols.elig > 0.5
 
-    # dx/dy as two [256, C] tensors: stacking them as [256, C, 2] puts a
-    # size-2 axis minor-most, and the materialized (vmapped-over-tiles)
-    # intermediate measured ~100 MB per chunk step in the optimized HLO
-    # (scripts/hlo_traffic.py) — the single largest traffic source
-    dx = pix[:, None, 0] - mean2d[None, :, 0]
-    dy = pix[:, None, 1] - mean2d[None, :, 1]
-    power = -0.5 * (conic[None, :, 0] * dx * dx + conic[None, :, 2] * dy * dy) \
-        - conic[None, :, 1] * dx * dy
-    alpha = opa[None, :] * jnp.exp(jnp.minimum(power, 0.0))
+    # dx/dy as two [256, C] tensors: a [256, C, 2] stack puts a size-2 axis
+    # minor-most (layout-padded 64x; see FeatCols)
+    dx = pix[:, None, 0] - cols.mean_x[None, :]
+    dy = pix[:, None, 1] - cols.mean_y[None, :]
+    power = -0.5 * (cols.conic_a[None, :] * dx * dx
+                    + cols.conic_c[None, :] * dy * dy) \
+        - cols.conic_b[None, :] * dx * dy
+    alpha = cols.opacity[None, :] * jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.where(power > 0, 0.0, alpha)
     alpha = jnp.minimum(alpha, ALPHA_MAX)
     alpha = jnp.where(alpha < ALPHA_EPS, 0.0, alpha)
     opaque = elig[None, :] & (alpha >= opaque_threshold)
-    return alpha, rgb, z, opaque
+    return alpha, rgb_t, z, opaque
+
+
+def _excl_cumlog(l: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive cumulative sum along the LAST axis as one MXU matmul.
+
+    ``jnp.cumprod``/``cumsum`` lower to log-depth associative scans on TPU:
+    log2(C) full materializations of the [tiles, 256, C] operand per chunk
+    step, in BOTH blend directions — measured as the dominant HBM traffic
+    of the optimize loop (scripts/hlo_traffic.py).  A [C, C] triangular-ones
+    matmul computes the same prefix sums in ONE pass at trivial MXU cost
+    (384·256·C·C MACs ≈ 1.6 GFLOP at C=128).  Transmittance products run
+    this in log space: ``exp(excl_cumlog(log1p(-alpha)))`` — well-
+    conditioned because alpha <= ALPHA_MAX=0.99 bounds log1p in [-4.7, 0].
+    HIGHEST precision keeps the accumulation f32 (TPU matmul defaults to
+    bf16 passes); all-zero rows still produce exactly 0 -> exp = 1.0, so
+    the "T == 1 iff no alpha touched the pixel" mask contract is exact.
+    """
+    C = l.shape[-1]
+    i = jnp.arange(C)
+    tri = (i[:, None] < i[None, :]).astype(l.dtype)   # row j feeds cols i > j
+    return jax.lax.dot_general(
+        l, tri, (((l.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _suffix_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """Suffix-exclusive sum along the LAST axis (s[i] = sum_{j>i} x[j]) as
+    one MXU matmul — replaces the backward's cumsum scan (see _excl_cumlog)."""
+    C = x.shape[-1]
+    i = jnp.arange(C)
+    tri = (i[:, None] > i[None, :]).astype(x.dtype)
+    return jax.lax.dot_general(
+        x, tri, (((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 class _Carry(NamedTuple):
@@ -124,16 +198,18 @@ def _init_carry():
     )
 
 
-def _blend_chunk(carry: _Carry, feat_chunk, idx_chunk, pix, opaque_threshold) -> _Carry:
-    alpha, rgb, z, opaque = _chunk_alphas(feat_chunk, pix, opaque_threshold)
+def _blend_chunk(carry: _Carry, feat_chunk: FeatCols, idx_chunk, pix,
+                 opaque_threshold) -> _Carry:
+    alpha, rgb_t, z, opaque = _chunk_alphas(feat_chunk, pix, opaque_threshold)
 
     one_minus = 1.0 - alpha
-    cum = jnp.cumprod(one_minus, axis=1)                  # [256, C]
-    T_in = carry.T[:, None] * jnp.concatenate(
-        [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)  # exclusive
+    excl = jnp.exp(_excl_cumlog(jnp.log1p(-alpha)))       # exclusive prod
+    T_in = carry.T[:, None] * excl                        # [256, C]
     w = alpha * T_in                                      # [256, C]
 
-    color = carry.color + jnp.dot(w, rgb, preferred_element_type=jnp.float32)
+    color = carry.color + jax.lax.dot_general(
+        w, rgb_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [256, 3]
 
     # first opaque hit (front-to-back == ascending chunk position)
     has_hit = jnp.any(opaque, axis=1)
@@ -151,7 +227,7 @@ def _blend_chunk(carry: _Carry, feat_chunk, idx_chunk, pix, opaque_threshold) ->
     color_index = jnp.where(better, idx_chunk[best], carry.color_index)
 
     return _Carry(
-        T=carry.T * cum[:, -1],
+        T=carry.T * excl[:, -1] * one_minus[:, -1],
         color=color,
         depth=depth,
         depth_index=depth_index,
@@ -159,6 +235,36 @@ def _blend_chunk(carry: _Carry, feat_chunk, idx_chunk, pix, opaque_threshold) ->
         color_index=color_index,
         color_weight=color_weight,
     )
+
+
+def _chunk_slice(col: jnp.ndarray, c, chunk: int) -> jnp.ndarray:
+    """Chunk ``c`` of a [..., Kt] column as [..., chunk].
+
+    Reshapes to [..., n_chunks, chunk] (a free bitcast) and dynamic-slices
+    ONE row of the n_chunks axis: a dynamic offset on the minor (lane) axis
+    would defeat Mosaic's alignment analysis and lower to general lane
+    rotations (measured 2x the whole blend's cost); the second-minor
+    (sublane) axis slices cheaply.
+    """
+    Kt = col.shape[-1]
+    r = col.reshape(col.shape[:-1] + (Kt // chunk, chunk))
+    s = jax.lax.dynamic_slice_in_dim(r, c, 1, axis=r.ndim - 2)
+    return s.reshape(col.shape[:-1] + (chunk,))
+
+
+def _chunk_update(col: jnp.ndarray, upd: jnp.ndarray, c, chunk: int) -> jnp.ndarray:
+    """Inverse of :func:`_chunk_slice`: write chunk ``c`` into a [..., Kt]
+    column (same sublane-axis trick)."""
+    Kt = col.shape[-1]
+    r = col.reshape(col.shape[:-1] + (Kt // chunk, chunk))
+    r = jax.lax.dynamic_update_slice_in_dim(
+        r, upd[..., None, :], c, axis=r.ndim - 2)
+    return r.reshape(col.shape)
+
+
+def _slice_cols(cols: FeatCols, c, chunk: int) -> FeatCols:
+    """Chunk ``c`` of every column (see _chunk_slice)."""
+    return FeatCols(*(_chunk_slice(x, c, chunk) for x in cols))
 
 
 def _tile_pixels(origin: jnp.ndarray) -> jnp.ndarray:
@@ -171,7 +277,7 @@ def _tile_pixels(origin: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("differentiable",))
 def blend_tiles(
-    proj_sorted_feat: jnp.ndarray,   # [P+1, 11] packed, depth-sorted
+    proj_sorted_feat: FeatCols,      # [P+1] columns, depth-sorted
     order: jnp.ndarray,              # [P] sorted -> original
     tile_lists: jnp.ndarray,         # [T, Kt]
     tile_counts: jnp.ndarray,        # [T]
@@ -184,10 +290,11 @@ def blend_tiles(
     # map sorted-space sentinel V -> original-index sentinel -1
     order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
 
-    # Pre-gather every tile's features into contiguous [T, Kt, 11] layout
-    # with ONE batched gather: the chunk loop then reads sequential memory.
-    # (Per-chunk random-row gathers inside the loop measured ~5x slower.)
-    tile_feat = proj_sorted_feat[tile_lists]          # [T, Kt, 11]
+    # Pre-gather every tile's features into contiguous [T, Kt] columns
+    # with one batched gather per column: the chunk loop then reads
+    # sequential memory.  (Per-chunk random-row gathers inside the loop
+    # measured ~5x slower.)
+    tile_feat = proj_sorted_feat.gather(tile_lists)   # FeatCols of [T, Kt]
     tile_gidx = order_pad[tile_lists]                 # [T, Kt]
     return blend_tiles_pregathered(
         tile_feat, tile_gidx, tile_counts, origins,
@@ -196,7 +303,7 @@ def blend_tiles(
 
 @partial(jax.jit, static_argnames=("differentiable",))
 def blend_tiles_pregathered(
-    tile_feat: jnp.ndarray,    # [T, Kt, 11] contiguous, depth-ordered
+    tile_feat: FeatCols,       # [T, Kt] columns, depth-ordered
     tile_gidx: jnp.ndarray,    # [T, Kt] int32 original indices (-1 sentinel)
     tile_counts: jnp.ndarray,  # [T]
     origins: jnp.ndarray,      # [T, 2]
@@ -205,7 +312,7 @@ def blend_tiles_pregathered(
     differentiable: bool = False,
 ) -> TileOutputs:
     """Blend from pre-gathered per-tile blocks (shardable over tiles)."""
-    Kt = tile_feat.shape[1]
+    Kt = tile_feat.mean_x.shape[-1]
     chunk = min(CHUNK, Kt)
     assert Kt % chunk == 0, "tile_capacity must be a power of two >= 64"
     n_chunks = Kt // chunk
@@ -214,8 +321,8 @@ def blend_tiles_pregathered(
         pix = _tile_pixels(origin)
 
         def chunk_step(carry, c):
-            feat = jax.lax.dynamic_slice_in_dim(tfeat, c * chunk, chunk, axis=0)
-            gidx = jax.lax.dynamic_slice_in_dim(tgidx, c * chunk, chunk, axis=0)
+            feat = _slice_cols(tfeat, c, chunk)
+            gidx = _chunk_slice(tgidx, c, chunk)
             return _blend_chunk(carry, feat, gidx, pix, opaque_threshold)
 
         if differentiable:
@@ -257,7 +364,9 @@ def blend_tiles_pregathered(
 
 @jax.jit
 def blend_transmission(
-    tile_feat: jnp.ndarray,    # [T, Kt, 6]: mean2d, conic, opacity
+    tile_feat,                 # 6-tuple of [T, Kt] columns:
+                               #   mean_x, mean_y, conic_a, conic_b, conic_c,
+                               #   opacity
     tile_counts: jnp.ndarray,  # [T]
     origins: jnp.ndarray,      # [T, 2]
     T_threshold: float = 1e-4,
@@ -267,13 +376,13 @@ def blend_transmission(
     mapper.py:471-508, uses the render's transmission map and nothing else
     in local mode).  Identical alpha math and early-exit rule as the full
     blend, minus color/depth/index bookkeeping and the SH shade — and the
-    per-tile gather carries 6 floats per gaussian instead of 11.
+    per-tile gather carries 6 columns per gaussian instead of 11.
 
     Exactness pinned by test_rasterizer.py::test_transmission_only_matches:
     the mask (T != 1) is exact — T == 1.0 iff every alpha is exactly 0 on
     both paths — and T itself agrees to reduction-order rounding.
     """
-    Kt = tile_feat.shape[1]
+    Kt = tile_feat[0].shape[-1]
     chunk = min(CHUNK, Kt)
 
     def run_tile(tfeat, count, origin):
@@ -286,18 +395,20 @@ def blend_transmission(
 
         def step(state):
             c, T = state
-            feat = jax.lax.dynamic_slice_in_dim(tfeat, c * chunk, chunk, axis=0)
-            mean2d, conic, opa = feat[:, 0:2], feat[:, 2:5], feat[:, 5]
-            dx = pix[:, None, 0] - mean2d[None, :, 0]
-            dy = pix[:, None, 1] - mean2d[None, :, 1]
-            power = -0.5 * (conic[None, :, 0] * dx * dx
-                            + conic[None, :, 2] * dy * dy) \
-                - conic[None, :, 1] * dx * dy
+            mean_x, mean_y, ca, cb, cc, opa = (
+                _chunk_slice(col, c, chunk) for col in tfeat)
+            dx = pix[:, None, 0] - mean_x[None, :]
+            dy = pix[:, None, 1] - mean_y[None, :]
+            power = -0.5 * (ca[None, :] * dx * dx + cc[None, :] * dy * dy) \
+                - cb[None, :] * dx * dy
             alpha = opa[None, :] * jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.where(power > 0, 0.0, alpha)
             alpha = jnp.minimum(alpha, ALPHA_MAX)
             alpha = jnp.where(alpha < ALPHA_EPS, 0.0, alpha)
-            return c + 1, T * jnp.prod(1.0 - alpha, axis=1)
+            # log-space product to match the full blend's _excl_cumlog route
+            # (T-value agreement within reduction-order rounding; exactly 1.0
+            # when every alpha is exactly 0 on both paths)
+            return c + 1, T * jnp.exp(jnp.sum(jnp.log1p(-alpha), axis=1))
 
         _, T = jax.lax.while_loop(
             cond, step, (jnp.int32(0), jnp.ones(TILE * TILE)))
@@ -330,27 +441,25 @@ def blend_transmission(
 _BIG = jnp.float32(3.0e38)
 
 
-def _chunk_alphas_vjp(feat_chunk, pix, opaque_threshold):
+def _chunk_alphas_vjp(cols: FeatCols, pix, opaque_threshold):
     """Like _chunk_alphas but also returns the pieces the backward needs:
-    exp-term, gradient gate, pixel deltas, conic rows."""
-    mean2d = feat_chunk[:, 0:2]
-    conic = feat_chunk[:, 2:5]
-    z = feat_chunk[:, 5]
-    rgb = feat_chunk[:, 6:9]
-    opa = feat_chunk[:, 9]
-    elig = feat_chunk[:, 10] > 0.5
+    exp-term, gradient gate, pixel deltas, conic columns."""
+    z = cols.depth
+    rgb_t = jnp.stack([cols.r, cols.g, cols.b], axis=0)   # [3, C]
+    elig = cols.elig > 0.5
 
-    dx = pix[:, None, 0] - mean2d[None, :, 0]   # [256, C] (see _chunk_alphas
-    dy = pix[:, None, 1] - mean2d[None, :, 1]   # on why not a [.., 2] stack)
-    power = -0.5 * (conic[None, :, 0] * dx * dx + conic[None, :, 2] * dy * dy) \
-        - conic[None, :, 1] * dx * dy
+    dx = pix[:, None, 0] - cols.mean_x[None, :]  # [256, C] (see _chunk_alphas
+    dy = pix[:, None, 1] - cols.mean_y[None, :]  # on why not a [.., 2] stack)
+    power = -0.5 * (cols.conic_a[None, :] * dx * dx
+                    + cols.conic_c[None, :] * dy * dy) \
+        - cols.conic_b[None, :] * dx * dy
     e = jnp.exp(jnp.minimum(power, 0.0))
-    raw = opa[None, :] * e
+    raw = cols.opacity[None, :] * e
     alpha = jnp.minimum(raw, ALPHA_MAX)
     gate = (power <= 0) & (raw >= ALPHA_EPS) & (raw < ALPHA_MAX)
     alpha = jnp.where((power > 0) | (raw < ALPHA_EPS), 0.0, alpha)
     opaque = elig[None, :] & (alpha >= opaque_threshold)
-    return alpha, rgb, z, opaque, e, gate, dx, dy, conic
+    return alpha, rgb_t, z, opaque, e, gate, dx, dy
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -369,10 +478,10 @@ def blend_tiles_fused(tile_feat, tile_gidx, tile_counts, origins,
     return out
 
 
-def _fused_fwd(tile_feat, tile_gidx, tile_counts, origins,
+def _fused_fwd(tile_feat: FeatCols, tile_gidx, tile_counts, origins,
                opaque_threshold, T_threshold,
                use_pallas=False, pallas_interpret=False):
-    Kt = tile_feat.shape[1]
+    Kt = tile_feat.mean_x.shape[-1]
     chunk = min(CHUNK, Kt)
     n_chunks = Kt // chunk
 
@@ -380,7 +489,7 @@ def _fused_fwd(tile_feat, tile_gidx, tile_counts, origins,
         from . import pallas_blend
 
         out, entry_T, done = pallas_blend.blend_fwd_pallas(
-            tile_feat, tile_gidx, tile_counts, origins,
+            tile_feat.pack(), tile_gidx, tile_counts, origins,
             opaque_threshold, T_threshold, pallas_interpret)
         res = (tile_feat, tile_gidx, origins, entry_T, done,
                out.T_final, out.depth_index)
@@ -399,8 +508,8 @@ def _fused_fwd(tile_feat, tile_gidx, tile_counts, origins,
             c, carry, entry = state
             entry = jax.lax.dynamic_update_slice_in_dim(
                 entry, carry.T[None], c, axis=0)
-            feat = jax.lax.dynamic_slice_in_dim(tfeat, c * chunk, chunk, axis=0)
-            gidx = jax.lax.dynamic_slice_in_dim(tgidx, c * chunk, chunk, axis=0)
+            feat = _slice_cols(tfeat, c, chunk)
+            gidx = _chunk_slice(tgidx, c, chunk)
             return c + 1, _blend_chunk(carry, feat, gidx, pix, opaque_threshold), entry
 
         done, carry, entry = jax.lax.while_loop(
@@ -429,7 +538,7 @@ def _float_cot(g, like):
 def _fused_bwd(opaque_threshold, T_threshold, use_pallas, pallas_interpret,
                res, g: TileOutputs):
     tile_feat, tile_gidx, origins, entry_T, done, T_fin, depth_index = res
-    Kt = tile_feat.shape[1]
+    Kt = tile_feat.mean_x.shape[-1]
     chunk = min(CHUNK, Kt)
 
     g_color = _float_cot(g.color, T_fin[..., None].repeat(3, -1))
@@ -442,10 +551,10 @@ def _fused_bwd(opaque_threshold, T_threshold, use_pallas, pallas_interpret,
         from . import pallas_blend
 
         g_feat = pallas_blend.blend_bwd_pallas(
-            tile_feat, tile_gidx, origins, entry_T, done,
+            tile_feat.pack(), tile_gidx, origins, entry_T, done,
             g_color, g_depth, T_fin * g_T, depth_index,
             opaque_threshold, pallas_interpret)
-        return (g_feat,
+        return (FeatCols.unpack(g_feat),
                 np.zeros(tile_gidx.shape, jax.dtypes.float0),
                 np.zeros(done.shape, jax.dtypes.float0),
                 jnp.zeros_like(origins))
@@ -455,30 +564,32 @@ def _fused_bwd(opaque_threshold, T_threshold, use_pallas, pallas_interpret,
         pix = _tile_pixels(origin)
         tfin_gt = Tf * gt                                   # [256]
 
+        def psum(x):
+            # pixel-axis reduction -> [C]
+            return jnp.sum(x, axis=0)
+
         def cond(state):
             c, _, _ = state
             return c >= 0
 
         def step(state):
             c, s_carry, gfeat = state
-            feat = jax.lax.dynamic_slice_in_dim(tfeat, c * chunk, chunk, axis=0)
-            gidx = jax.lax.dynamic_slice_in_dim(tgidx, c * chunk, chunk, axis=0)
-            alpha, rgb, z, opaque, e, gate, dx, dy, conic = \
+            feat = _slice_cols(tfeat, c, chunk)
+            gidx = _chunk_slice(tgidx, c, chunk)
+            alpha, rgb_t, z, opaque, e, gate, dx, dy = \
                 _chunk_alphas_vjp(feat, pix, opaque_threshold)
 
             one_minus = 1.0 - alpha
-            cum = jnp.cumprod(one_minus, axis=1)
-            excl = jnp.concatenate(
-                [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+            excl = jnp.exp(_excl_cumlog(jnp.log1p(-alpha)))
             T_in = entry[c][:, None] * excl                 # [256, C]
             w = alpha * T_in
 
-            rgbdot = jnp.dot(gc, rgb.T,
-                             preferred_element_type=jnp.float32)  # [256, C]
+            rgbdot = jax.lax.dot_general(
+                gc, rgb_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [256, C]
             wg = w * rgbdot
-            incl = jnp.cumsum(wg, axis=1)
-            tot = incl[:, -1]
-            s_in = tot[:, None] - incl                      # suffix-exclusive
+            tot = jnp.sum(wg, axis=1)
+            s_in = _suffix_excl(wg)                         # suffix-exclusive
             s_total = s_in + s_carry[:, None]
 
             galpha = T_in * rgbdot \
@@ -486,23 +597,24 @@ def _fused_bwd(opaque_threshold, T_threshold, use_pallas, pallas_interpret,
             galpha = jnp.where(gate, galpha, 0.0)
 
             gpow = galpha * alpha                           # [256, C]
-            gmean_x = jnp.sum(
-                gpow * (conic[None, :, 0] * dx + conic[None, :, 1] * dy), axis=0)
-            gmean_y = jnp.sum(
-                gpow * (conic[None, :, 2] * dy + conic[None, :, 1] * dx), axis=0)
-            gca = jnp.sum(gpow * (-0.5 * dx * dx), axis=0)
-            gcb = jnp.sum(gpow * (-dx * dy), axis=0)
-            gcc = jnp.sum(gpow * (-0.5 * dy * dy), axis=0)
-            gopa = jnp.sum(galpha * e, axis=0)
-            grgb = jnp.dot(w.T, gc,
-                           preferred_element_type=jnp.float32)  # [C, 3]
+            ca, cb, cc = feat.conic_a, feat.conic_b, feat.conic_c
+            gmean_x = psum(gpow * (ca[None, :] * dx + cb[None, :] * dy))
+            gmean_y = psum(gpow * (cc[None, :] * dy + cb[None, :] * dx))
+            gca = psum(gpow * (-0.5 * dx * dx))
+            gcb = psum(gpow * (-dx * dy))
+            gcc = psum(gpow * (-0.5 * dy * dy))
+            gopa = psum(galpha * e)
+            grgb = jax.lax.dot_general(w, gc, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)  # [C, 3]
 
             # depth: the forward recorded the hit's ORIGINAL index; a
             # gaussian appears at most once per tile list, so matching
             # indices recovers the hit slot (sentinels are -1 on both sides).
             hit = opaque & (gidx[None, :] == didx[:, None]) & (didx >= 0)[:, None]
-            gz = jnp.sum(jnp.where(hit, gd[:, None], 0.0), axis=0)
+            gz = psum(jnp.where(hit, gd[:, None], 0.0))
 
+            # accumulate PACKED [C, 11]: one sublane-axis update per step;
+            # ten per-column updates measured ~2x the whole backward's cost
             gchunk = jnp.concatenate([
                 gmean_x[:, None], gmean_y[:, None],
                 gca[:, None], gcb[:, None], gcc[:, None],
@@ -518,9 +630,13 @@ def _fused_bwd(opaque_threshold, T_threshold, use_pallas, pallas_interpret,
             (n_done - 1, jnp.zeros(TILE * TILE), jnp.zeros((Kt, 11))))
         return gfeat
 
-    g_feat = jax.vmap(bwd_tile)(
+    g_packed = jax.vmap(bwd_tile)(
         tile_feat, tile_gidx, origins, entry_T, done, T_fin, depth_index,
-        g_color, g_depth, g_T)
+        g_color, g_depth, g_T)                              # [T, Kt, 11]
+    # unpack ONCE via a transpose (11 per-column lane-extractions would
+    # re-read the padded array 11x)
+    gT = jnp.transpose(g_packed, (2, 0, 1))
+    g_feat = FeatCols(*(gT[i] for i in range(11)))
 
     import numpy as np
 

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.rasterize import binning, blend
 from ..ops.rasterize.api import RasterSettings
-from ..ops.rasterize.project import project_geometry, shade
+from ..ops.rasterize.project import project_geometry, shade_cols
 
 
 def sp_render(gaussians, camera, settings: RasterSettings, mesh: Mesh,
@@ -44,19 +44,22 @@ def sp_render(gaussians, camera, settings: RasterSettings, mesh: Mesh,
         geo, H, W, settings.block_capacity, settings.tile_capacity,
         settings.max_visible, tile_mask=tile_mask)
     order = bins.order
-    rgb, elig = shade(
-        gaussians["xyz"][order], gaussians["shs"][order],
+    r, g, b, elig = shade_cols(
+        gaussians["xyz"][order],
+        gaussians["shs"].reshape(gaussians["shs"].shape[0], -1)[order],
         gaussians["normal"][order], camera["campos"],
         settings.sh_degree, settings.normal_threshold)
     feat = blend._pack_features((
-        geo.mean2d[order], geo.conic[order], geo.depth[order],
-        rgb, gaussians["opacity"].reshape(-1)[order], elig))
+        geo.mean2d[order, 0], geo.mean2d[order, 1],
+        geo.conic[order, 0], geo.conic[order, 1], geo.conic[order, 2],
+        geo.depth[order], r, g, b,
+        gaussians["opacity"].reshape(-1)[order], elig.astype(jnp.float32)))
     origins = binning.tile_origins(H, W)
     order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
-    tile_feat = feat[bins.tile_lists]
+    tile_feat = feat.gather(bins.tile_lists)      # FeatCols of [T, Kt]
     tile_gidx = order_pad[bins.tile_lists]
 
-    T = tile_feat.shape[0]
+    T = tile_gidx.shape[0]
     pad = (-T) % n_dev
 
     def pad_t(x, fill=0):
@@ -65,7 +68,8 @@ def sp_render(gaussians, camera, settings: RasterSettings, mesh: Mesh,
         shape = (pad,) + x.shape[1:]
         return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)])
 
-    tf, tg = pad_t(tile_feat), pad_t(tile_gidx, -1)
+    tf = jax.tree.map(pad_t, tile_feat)           # FeatCols: pad each column
+    tg = pad_t(tile_gidx, -1)
     tc, to = pad_t(bins.tile_counts), pad_t(origins)
 
     @partial(jax.shard_map, mesh=mesh,

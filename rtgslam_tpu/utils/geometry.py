@@ -30,6 +30,22 @@ def normalize(v: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return v / norm
 
 
+def quat_to_rotmat_cols(q: jnp.ndarray):
+    """Batched unit-quaternion (w,x,y,z) -> the 9 rotation-matrix entries as
+    separate [...] columns (row-major r00..r22).
+
+    The stacked [..., 3, 3] form pads each 3-sized axis to a full TPU
+    register tile ((8, 128) for f32), inflating every touch of the array
+    ~14x; per-entry columns stay 1-D and fuse into their consumers."""
+    q = normalize(q)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    )
+
+
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     """Batched unit-quaternion (w,x,y,z) -> rotation matrix [..., 3, 3]."""
     q = normalize(q)

@@ -32,6 +32,54 @@ def num_sh_coeffs(degree: int) -> int:
     return (degree + 1) ** 2
 
 
+def sh_basis_cols(degree: int, x, y, z):
+    """The (degree+1)^2 real-SH basis values as a list of [...] columns.
+
+    Inputs are the unit-direction components as separate columns.  Used by
+    the render hot path: evaluating color as sum_k basis_k * coeff_k over
+    scalar columns keeps everything 1-D — the stacked [..., K, 3] slicing
+    in :func:`eval_sh` materializes per-coefficient [..., 1, 3] tensors
+    that TPU layout pads ~170x (measured ~1 GB per render; PERF.md)."""
+    basis = [jnp.full_like(x, C0)]
+    if degree >= 1:
+        basis += [-C1 * y, C1 * z, -C1 * x]
+        if degree >= 2:
+            xx, yy, zz = x * x, y * y, z * z
+            basis += [
+                C2[0] * x * y, C2[1] * y * z, C2[2] * (2.0 * zz - xx - yy),
+                C2[3] * x * z, C2[4] * (xx - yy),
+            ]
+            if degree >= 3:
+                basis += [
+                    C3[0] * y * (3 * xx - yy), C3[1] * x * y * z,
+                    C3[2] * y * (4 * zz - xx - yy),
+                    C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                    C3[4] * x * (4 * zz - xx - yy), C3[5] * z * (xx - yy),
+                    C3[6] * x * (xx - 3 * yy),
+                ]
+    return basis
+
+
+def eval_sh_flat(degree: int, sh_flat: jnp.ndarray, x, y, z):
+    """Column-SoA SH evaluation.
+
+    Args:
+      sh_flat: [..., 3*K] coefficients, coefficient-major (k*3 + channel —
+        the row-major flattening of the [..., K, 3] layout eval_sh takes).
+      x, y, z: unit view-direction components as [...] columns.
+
+    Returns (r, g, b) [...] columns.  Same math as :func:`eval_sh`, summed
+    per channel over scalar columns (see sh_basis_cols on why)."""
+    basis = sh_basis_cols(degree, x, y, z)
+    out = []
+    for ch in range(3):
+        acc = basis[0] * sh_flat[..., ch]
+        for kk in range(1, len(basis)):
+            acc = acc + basis[kk] * sh_flat[..., 3 * kk + ch]
+        out.append(acc)
+    return tuple(out)
+
+
 def eval_sh(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate SH colors.
 

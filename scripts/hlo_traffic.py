@@ -97,13 +97,19 @@ def main():
         from rtgslam_tpu.slam.tracker import fused_icp_track_step as fn
     print(f"[hlo_traffic] compiling {target} for "
           f"{jax.devices()[0].platform}...")
-    fn.lower(*a, **k).compile()
+    compiled = fn.lower(*a, **k).compile()
 
+    # Prefer the dump (has layouts); the axon plugin compiles on the REMOTE
+    # worker so --xla_dump_to writes nothing locally — fall back to the
+    # serialized optimized module, which round-trips fine.
     files = sorted(glob.glob(os.path.join(DUMP, "*after_optimizations.txt")),
                    key=os.path.getmtime)
-    if not files:
-        raise SystemExit("no after_optimizations dump found")
-    text = open(files[-1]).read()
+    if files:
+        text = open(files[-1]).read()
+    else:
+        print("[hlo_traffic] no local dump (remote compile) — "
+              "using compiled.as_text()")
+        text = compiled.as_text()
 
     per_line = []
     by_kind = collections.Counter()

@@ -26,11 +26,13 @@ def _setup(seed=0, n_alive=24, H=64, W=96, Kt=128):
     bins = binning.bin_gaussians(pr, H, W, 256, Kt, max_visible=64)
     order = bins.order
     feat = blend._pack_features((
-        pr.mean2d[order], pr.conic[order], pr.depth[order],
-        pr.rgb[order], pr.opacity[order], pr.normal_elig[order]))
+        pr.mean2d[order, 0], pr.mean2d[order, 1],
+        pr.conic[order, 0], pr.conic[order, 1], pr.conic[order, 2],
+        pr.depth[order], pr.rgb[order, 0], pr.rgb[order, 1], pr.rgb[order, 2],
+        pr.opacity[order], pr.normal_elig[order].astype(jnp.float32)))
     origins = binning.tile_origins(H, W)
     order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
-    tile_feat = feat[bins.tile_lists]
+    tile_feat = feat.gather(bins.tile_lists)     # FeatCols of [T, Kt]
     tile_gidx = order_pad[bins.tile_lists]
     return feat, order, bins, origins, tile_feat, tile_gidx, st
 
@@ -41,8 +43,8 @@ def test_pallas_matches_xla(seed):
     ref = blend.blend_tiles(feat, order, bins.tile_lists, bins.tile_counts,
                             origins, opaque_threshold=st.opaque_threshold,
                             differentiable=True)
-    out = blend_tiles_pallas(tile_feat, tile_gidx, bins.tile_counts, origins,
-                             opaque_threshold=st.opaque_threshold,
+    out = blend_tiles_pallas(tile_feat.pack(), tile_gidx, bins.tile_counts,
+                             origins, opaque_threshold=st.opaque_threshold,
                              interpret=True)
     assert np.allclose(np.asarray(out.color), np.asarray(ref.color), atol=1e-5)
     assert np.allclose(np.asarray(out.depth), np.asarray(ref.depth), atol=1e-5)
@@ -54,8 +56,8 @@ def test_pallas_matches_xla(seed):
 
 def test_pallas_empty_tiles():
     feat, order, bins, origins, tile_feat, tile_gidx, st = _setup(n_alive=0)
-    out = blend_tiles_pallas(tile_feat, tile_gidx, bins.tile_counts, origins,
-                             opaque_threshold=0.6, interpret=True)
+    out = blend_tiles_pallas(tile_feat.pack(), tile_gidx, bins.tile_counts,
+                             origins, opaque_threshold=0.6, interpret=True)
     assert np.all(np.asarray(out.T_final) == 1.0)
     assert np.all(np.asarray(out.depth_index) == -1)
 
@@ -89,7 +91,7 @@ def test_pallas_fused_vjp_matches_xla_fused():
     gradients of a color/depth/T loss (interpreter mode)."""
     feat, order, bins, origins, tile_feat, tile_gidx, st = _setup(seed=7)
     rng = np.random.default_rng(1)
-    T_tiles = tile_feat.shape[0]
+    T_tiles = tile_gidx.shape[0]
     wc = jnp.asarray(rng.standard_normal((T_tiles, 256, 3)), jnp.float32)
     wd = jnp.asarray(rng.standard_normal((T_tiles, 256)), jnp.float32)
     wt = jnp.asarray(rng.standard_normal((T_tiles, 256)), jnp.float32)
@@ -104,7 +106,8 @@ def test_pallas_fused_vjp_matches_xla_fused():
     v_x, g_x = jax.value_and_grad(lambda tf: loss(tf, False))(tile_feat)
     v_p, g_p = jax.value_and_grad(lambda tf: loss(tf, True))(tile_feat)
     assert np.isclose(float(v_x), float(v_p), rtol=1e-5, atol=1e-5)
-    a, b = np.asarray(g_x), np.asarray(g_p)
+    a = np.stack([np.asarray(c) for c in g_x], axis=-1)
+    b = np.stack([np.asarray(c) for c in g_p], axis=-1)
     assert np.isfinite(b).all()
     scale = max(np.abs(a).max(), 1e-3)
     assert np.allclose(a, b, atol=1e-4 * scale, rtol=1e-3), np.abs(a - b).max()
