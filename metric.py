@@ -23,7 +23,14 @@ parser.add_argument("--frame_id", type=int, default=-1,
 parser.add_argument("--load_type", type=str, default="merge",
                     choices=["merge", "stable", "unstable"])
 parser.add_argument("--eval_frame_num", type=int, default=-1)
+parser.add_argument("--platform", type=str, default=None,
+                    help="force a jax backend (e.g. 'cpu'); see slam.py")
 cli = parser.parse_args()
+
+if cli.platform:
+    import jax
+
+    jax.config.update("jax_platforms", cli.platform)
 
 from rtgslam_tpu.config import read_config, DatasetParams
 from rtgslam_tpu.data import Dataset, load_camera

@@ -18,7 +18,17 @@ parser = ArgumentParser(description="TPU RTG-SLAM")
 parser.add_argument("--config", type=str, default="configs/replica/room0.yaml")
 parser.add_argument("--frames", type=int, default=-1,
                     help="override frame_num (quick runs)")
+parser.add_argument("--platform", type=str, default=None,
+                    help="force a jax backend (e.g. 'cpu'); the in-process "
+                         "config update is the only override the axon TPU "
+                         "plugin honors (JAX_PLATFORMS / JAX_PLATFORM_NAME "
+                         "env vars are both hijacked)")
 cli = parser.parse_args()
+
+if cli.platform:
+    import jax
+
+    jax.config.update("jax_platforms", cli.platform)
 
 from rtgslam_tpu.config import read_config, DatasetParams, OptimizationParams, MapParams, save_config
 from rtgslam_tpu.data import Dataset, load_camera

@@ -16,7 +16,14 @@ from argparse import ArgumentParser
 parser = ArgumentParser(description="TPU RTG-SLAM (pipelined)")
 parser.add_argument("--config", type=str, default="configs/replica/room0.yaml")
 parser.add_argument("--frames", type=int, default=-1)
+parser.add_argument("--platform", type=str, default=None,
+                    help="force a jax backend (e.g. 'cpu'); see slam.py")
 cli = parser.parse_args()
+
+if cli.platform:
+    import jax
+
+    jax.config.update("jax_platforms", cli.platform)
 
 from rtgslam_tpu.config import read_config, DatasetParams, OptimizationParams, save_config
 from rtgslam_tpu.data import Dataset
