@@ -494,7 +494,7 @@ def spawn_chain(
     Returns (state', n_inserted, model_render_out); the model render doubles
     as this frame's ``model_map`` so the host never re-renders for it.
     """
-    from ..ops.rasterize.api import _render_impl
+    from ..ops.rasterize.api import _render_impl, render_model_and_stable
 
     zero_hw1 = jnp.zeros((height, width, 1))
     if first_frame:
@@ -502,6 +502,17 @@ def spawn_chain(
         model_T, model_depth = zero_hw1, zero_hw1
         model_color = jnp.zeros((height, width, 3))
         model_didx = jnp.full((height, width), -1, jnp.int32)
+        stable_cidx = jnp.full((height, width), -1, jnp.int32)
+    elif has_stable:
+        # model + stable renders share one projection/sort/binning/shade
+        # pass (stable ⊂ alive; reference launches two rasterizations,
+        # mapper.py:728,849 — see render_model_and_stable)
+        model_out, stable_cidx = render_model_and_stable.__wrapped__(
+            render_inputs(state, alive_mask(state)), stable_mask(state),
+            w2c, K, campos, settings)
+        model_T, model_depth = model_out["T_map"], model_out["depth"]
+        model_color = model_out["render"]
+        model_didx = model_out["depth_index_map"]
     else:
         gauss = render_inputs(state, alive_mask(state))
         model_out = _render_impl.__wrapped__(
@@ -509,12 +520,6 @@ def spawn_chain(
         model_T, model_depth = model_out["T_map"], model_out["depth"]
         model_color = model_out["render"]
         model_didx = model_out["depth_index_map"]
-    if has_stable:
-        s_out = _render_impl.__wrapped__(
-            render_inputs(state, stable_mask(state)), w2c, K, campos, None,
-            settings, False, False)
-        stable_cidx = s_out["color_index_map"]
-    else:
         stable_cidx = jnp.full((height, width), -1, jnp.int32)
 
     state, n_inserted = spawn_step.__wrapped__(

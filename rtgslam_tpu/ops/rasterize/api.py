@@ -169,6 +169,12 @@ def _render_impl(
             differentiable=differentiable,
         )
 
+    return _assemble_outputs(tiles, gaussians["normal"], bins.overflow, H, W)
+
+
+def _assemble_outputs(tiles, normals, overflow, H: int, W: int):
+    """Tile-major blend outputs -> the render's [H, W, C] output dict."""
+
     def to_image(x, channels):
         img = binning.scatter_tiles(x.reshape(x.shape[0], blend.TILE * blend.TILE, channels), H, W)
         return img
@@ -183,7 +189,7 @@ def _render_impl(
 
     # normal map: gather the opaque gaussian's world normal (render.py:130-133)
     normal_pad = jnp.concatenate(
-        [gaussians["normal"], jnp.zeros((1, 3), gaussians["normal"].dtype)], axis=0)
+        [normals, jnp.zeros((1, 3), normals.dtype)], axis=0)
     normal = jnp.where(
         (depth_index >= 0)[..., None],
         normal_pad[jnp.clip(depth_index, 0)],
@@ -199,8 +205,91 @@ def _render_impl(
         "color_hit_weight": color_w,
         "depth_hit_weight": depth_w,
         "T_map": T_map,
-        "overflow": bins.overflow,
+        "overflow": overflow,
     }
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_model_and_stable(
+    gaussians: Dict[str, jnp.ndarray],
+    stable: jnp.ndarray,          # [P] bool: the stable subset of alive
+    w2c: jnp.ndarray,
+    K: jnp.ndarray,
+    campos: jnp.ndarray,
+    settings: RasterSettings,
+):
+    """Model (alive-pool) render + stable-pool color index map from ONE
+    projection / depth-sort / binning / shade pass.
+
+    The reference renders the global map (mapper.py:728) and the stable map
+    (mapper.py:849) as two full rasterizer launches at the SAME camera;
+    since stable ⊂ alive, the stable render here reuses the alive pass's
+    sorted working set and tile lists and re-runs only the (cheap) blend
+    with non-stable contributions zeroed (`FeatCols.mask_contribution` —
+    exact: a zero-alpha entry is blend-invisible on every output).  That
+    skips the second projection, the second [P]-key depth sort, the second
+    binning and the second SH shade — the fixed per-render costs that
+    dominate now that the blend itself is ~0.1 ms (PERF.md round-3).
+
+    DIVERGENCE from two standalone renders: tile/visible capacities bound
+    the combined alive population, not the stable subset, so under
+    overflow the shared lists may drop a stable gaussian a standalone
+    stable render would keep (overflow counter reports it; exact when 0 —
+    pinned by tests/test_rasterizer.py::test_model_and_stable_pair).
+
+    Returns (model_out_dict, stable_color_index_map [H, W] int32).
+    """
+    H, W = settings.height, settings.width
+    geo = project_geometry(
+        gaussians["xyz"], gaussians["scales"], gaussians["rotations"],
+        gaussians["alive"], w2c, K, W, H, settings.scale_modifier,
+    )
+    bins = binning.bin_gaussians(
+        geo, H, W,
+        block_capacity=settings.block_capacity,
+        tile_capacity=settings.tile_capacity,
+        max_visible=settings.max_visible,
+        tile_mask=None,
+    )
+    order = bins.order
+    P = gaussians["xyz"].shape[0]
+    r, g, b, elig = shade_cols(
+        gaussians["xyz"][order],
+        gaussians["shs"].reshape(P, -1)[order],
+        gaussians["normal"][order], campos,
+        settings.sh_degree, settings.normal_threshold,
+    )
+    feat = blend._pack_features((
+        geo.mean2d[order, 0], geo.mean2d[order, 1],
+        geo.conic[order, 0], geo.conic[order, 1], geo.conic[order, 2],
+        geo.depth[order], r, g, b,
+        gaussians["opacity"].reshape(-1)[order], elig.astype(jnp.float32),
+    ))
+    stable_col = jnp.concatenate([
+        stable[order].astype(jnp.float32), jnp.zeros((1,), jnp.float32)])
+    origins = binning.tile_origins(H, W)
+    order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
+    tile_feat, (tile_stable,) = feat.gather_with_extra(
+        (stable_col,), bins.tile_lists)
+    tile_gidx = order_pad[bins.tile_lists]
+
+    model_tiles = blend.blend_tiles_pregathered(
+        tile_feat, tile_gidx, bins.tile_counts, origins,
+        opaque_threshold=settings.opaque_threshold,
+        T_threshold=settings.T_threshold, differentiable=False)
+    stable_tiles = blend.blend_tiles_pregathered(
+        tile_feat.mask_contribution(tile_stable), tile_gidx,
+        bins.tile_counts, origins,
+        opaque_threshold=settings.opaque_threshold,
+        T_threshold=settings.T_threshold, differentiable=False)
+
+    model_out = _assemble_outputs(
+        model_tiles, gaussians["normal"], bins.overflow, H, W)
+    stable_cidx = binning.scatter_tiles(
+        stable_tiles.color_index[..., None].astype(jnp.int32).reshape(
+            stable_tiles.color_index.shape[0], blend.TILE * blend.TILE, 1),
+        H, W)[..., 0]
+    return model_out, stable_cidx
 
 
 @partial(jax.jit, static_argnames=("settings",))

@@ -95,6 +95,30 @@ class FeatCols(NamedTuple):
         colsT = jnp.transpose(rows, (2, 0, 1))            # [11, T, Kt]
         return FeatCols(*(colsT[i] for i in range(11)))
 
+    def gather_with_extra(self, extra, idx: jnp.ndarray):
+        """:meth:`gather` carrying extra scalar columns through the SAME
+        packed row gather (adding a 12th column to the [Kt, 11+] rows is
+        free next to a second per-column scalar gather — ~1.4 ms each on
+        v5e).  Returns (FeatCols of [T, Kt], tuple of extra [T, Kt])."""
+        n = len(extra)
+        rows = jnp.stack(tuple(self) + tuple(extra), axis=-1)[idx]
+        colsT = jnp.transpose(rows, (2, 0, 1))            # [11+n, T, Kt]
+        return (FeatCols(*(colsT[i] for i in range(11))),
+                tuple(colsT[11 + i] for i in range(n)))
+
+    def mask_contribution(self, keep: jnp.ndarray) -> "FeatCols":
+        """Zero the alpha contribution of entries where ``keep`` == 0.
+
+        A zero-opacity entry is blend-invisible EXACTLY: alpha 0 (below
+        ALPHA_EPS) never accumulates color, never passes the opaque gate
+        (opaque_threshold > 0), and never wins the strict-> color-index
+        race against the 0-initialized max weight.  This turns one
+        projection/sort/binning/shade pass into renders of any SUBSET of
+        the gaussians it covered (the pool-variant render trick,
+        api.render_model_and_stable)."""
+        return self._replace(opacity=self.opacity * keep,
+                             elig=self.elig * keep)
+
     def pack(self) -> jnp.ndarray:
         """Stacked [..., 11] layout (the Pallas kernels' input contract)."""
         return jnp.stack(tuple(self), axis=-1)

@@ -316,3 +316,55 @@ def test_optimize_masks_unchanged_by_light_render(tiny_map_state=None):
         jnp.asarray(rmask_light), 16, 0.5))
     assert np.array_equal(rmask_full, rmask_light)
     assert np.array_equal(tile_full, tile_light)
+
+
+def test_model_and_stable_pair_matches_standalone():
+    """render_model_and_stable (one projection/sort/binning/shade pass,
+    two blends) must reproduce BOTH standalone renders exactly when no
+    capacity overflows: the alive-pool render on every output, and the
+    stable-subset render's color index map (the only stable output the
+    spawn consumes, mapper temp_attach_to_stable)."""
+    from rtgslam_tpu.ops.rasterize.api import render_model_and_stable
+
+    g, cam, st = make_scene(P=96, n_alive=32, seed=11)
+    # mark a subset of the alive gaussians stable
+    rng = np.random.default_rng(3)
+    stable = np.zeros(96, bool)
+    stable[:32] = rng.random(32) < 0.5
+    stable_j = jnp.asarray(stable)
+
+    model_ref = render(g, cam, st)
+    g_stable = dict(g, alive=stable_j)
+    stable_ref = render(g_stable, cam, st)
+
+    model_out, stable_cidx = render_model_and_stable(
+        g, stable_j, cam["w2c"], cam["K"], cam["campos"], st)
+
+    assert int(model_out["overflow"]) == 0
+    for k in ("render", "depth", "normal", "T_map", "color_hit_weight",
+              "depth_hit_weight"):
+        np.testing.assert_allclose(
+            np.asarray(model_ref[k]), np.asarray(model_out[k]),
+            atol=1e-6, err_msg=f"model {k} differs")
+    for k in ("color_index_map", "depth_index_map"):
+        np.testing.assert_array_equal(
+            np.asarray(model_ref[k]), np.asarray(model_out[k]),
+            err_msg=f"model {k} differs")
+    np.testing.assert_array_equal(
+        np.asarray(stable_ref["color_index_map"]), np.asarray(stable_cidx),
+        err_msg="stable color index differs")
+
+
+def test_model_and_stable_pair_empty_stable():
+    """No stable gaussians -> the stable index map is all -1 and the model
+    outputs still match the standalone render."""
+    from rtgslam_tpu.ops.rasterize.api import render_model_and_stable
+
+    g, cam, st = make_scene(P=64, n_alive=8, seed=2)
+    model_ref = render(g, cam, st)
+    model_out, stable_cidx = render_model_and_stable(
+        g, jnp.zeros(64, bool), cam["w2c"], cam["K"], cam["campos"], st)
+    np.testing.assert_allclose(
+        np.asarray(model_ref["render"]), np.asarray(model_out["render"]),
+        atol=1e-6)
+    assert np.all(np.asarray(stable_cidx) == -1)
