@@ -20,8 +20,8 @@ from ..ops import knn as knn_ops
 from ..ops import segment as segment_ops
 from .gaussian_map import (
     FREE, STABLE, UNSTABLE, GaussianMapConfig, MapState,
-    activated_opacity, gaussian_radius, derived_normal,
-    alive_mask, render_inputs, stable_mask,
+    activated_opacity, activated_scales, gaussian_radius, derived_normal,
+    shs_from_features, alive_mask, render_inputs, stable_mask,
 )
 
 
@@ -193,8 +193,10 @@ def insert_temp(state: MapState, temp: TempPoints, log_scales: jnp.ndarray,
     """Scatter valid temp points into FREE slots as UNSTABLE gaussians
     (``temp_to_optimize`` -> ``pointcloud.cat``, mapper.py:884-896).
 
-    Returns (state, inserted count).  Capacity overflow silently drops the
-    tail (observable through the returned count vs temp validity sum).
+    Returns (state, inserted count, slots [Kt] — the slot index each temp
+    row landed in, sentinel = capacity for dropped/invalid rows; consumed
+    by frame_chain's incremental lifecycle render).  Capacity overflow
+    silently drops the tail (observable through count vs temp validity sum).
     """
     P = state.capacity
     Kt = temp.xyz.shape[0]
@@ -240,7 +242,7 @@ def insert_temp(state: MapState, temp: TempPoints, log_scales: jnp.ndarray,
                                     jnp.zeros((Kt, 1), jnp.int32)),
         status=scatter(state.status, jnp.full((Kt,), UNSTABLE, jnp.int32)),
     )
-    return new_state, jnp.sum(t_valid)
+    return new_state, jnp.sum(t_valid), slots
 
 
 # ---------------------------------------------------------------------------
@@ -489,47 +491,44 @@ def spawn_chain(
 ):
     """``spawn_step`` plus the model/stable renders it consumes, as ONE
     executable (reference mapper.py:715-896 renders the global map at :728
-    and the stable map at :849 as separate kernel launches).
+    and the stable map at :849 as separate kernel launches; both share ONE
+    projection/sort/shade pass here — render_model_and_stable).
 
-    Returns (state', n_inserted, model_render_out); the model render doubles
-    as this frame's ``model_map`` so the host never re-renders for it.
+    Returns (state', n_inserted, model_render_out, base_pass, slots): the
+    model render doubles as this frame's ``model_map`` so the host never
+    re-renders for it; ``base_pass``/``slots`` let frame_chain's lifecycle
+    render resume from this pass instead of re-projecting and re-sorting
+    (api.render_with_inserted).  base_pass is None on the first frame.
     """
-    from ..ops.rasterize.api import _render_impl, render_model_and_stable
+    from ..ops.rasterize.api import render_model_and_stable
 
     zero_hw1 = jnp.zeros((height, width, 1))
     if first_frame:
         model_out = None
+        base = None
         model_T, model_depth = zero_hw1, zero_hw1
         model_color = jnp.zeros((height, width, 3))
         model_didx = jnp.full((height, width), -1, jnp.int32)
         stable_cidx = jnp.full((height, width), -1, jnp.int32)
-    elif has_stable:
-        # model + stable renders share one projection/sort/binning/shade
-        # pass (stable ⊂ alive; reference launches two rasterizations,
-        # mapper.py:728,849 — see render_model_and_stable)
-        model_out, stable_cidx = render_model_and_stable.__wrapped__(
+    else:
+        # the pair render handles an empty stable pool exactly (index map
+        # all -1) at the cost of one re-blend (~0.1 ms) — not worth a
+        # third retrace bucket on has_stable
+        model_out, stable_cidx, base = render_model_and_stable.__wrapped__(
             render_inputs(state, alive_mask(state)), stable_mask(state),
             w2c, K, campos, settings)
         model_T, model_depth = model_out["T_map"], model_out["depth"]
         model_color = model_out["render"]
         model_didx = model_out["depth_index_map"]
-    else:
-        gauss = render_inputs(state, alive_mask(state))
-        model_out = _render_impl.__wrapped__(
-            gauss, w2c, K, campos, None, settings, False, False)
-        model_T, model_depth = model_out["T_map"], model_out["depth"]
-        model_color = model_out["render"]
-        model_didx = model_out["depth_index_map"]
-        stable_cidx = jnp.full((height, width), -1, jnp.int32)
 
-    state, n_inserted = spawn_step.__wrapped__(
+    state, n_inserted, slots = spawn_step.__wrapped__(
         key, state, vertex_w, normal_w, color, depth,
         model_T, model_depth, model_color, model_didx, stable_cidx,
         w2c, K, time,
         uniform_sample_num, transmission_sample_ratio, error_sample_ratio,
         add_transmission_thres, add_depth_thres, add_color_thres,
         config, max_each, height, width, first_frame, has_stable, ref_limit)
-    return state, n_inserted, model_out
+    return state, n_inserted, model_out, base, slots
 
 
 @partial(jax.jit, static_argnames=("num_gaussians", "settings"))
@@ -554,6 +553,24 @@ def lifecycle_chain(
     out = _render_impl.__wrapped__(
         render_inputs(state, alive_mask(state)), w2c, K, campos, None,
         settings, False, False)
+    state, hwm, n_stable = lifecycle_post_render.__wrapped__(
+        state, out, gt_color, gt_depth,
+        stable_confidence_thres, add_color_thres, add_depth_thres,
+        time, unstable_time_window, num_gaussians)
+    return state, out, hwm, n_stable
+
+
+@partial(jax.jit, static_argnames=("num_gaussians",))
+def lifecycle_post_render(
+    state: MapState,
+    out,                          # render output dict (any render variant)
+    gt_color, gt_depth,
+    stable_confidence_thres, add_color_thres, add_depth_thres,
+    time, unstable_time_window, num_gaussians: int,
+):
+    """The post-render half of :func:`lifecycle_chain` (lifecycle_step +
+    occupancy counters) — shared by the standalone chain and frame_chain's
+    incremental-render path."""
     state = lifecycle_step.__wrapped__(
         state, out["render"], out["depth"], out["normal"],
         out["depth_index_map"], out["color_index_map"],
@@ -561,7 +578,7 @@ def lifecycle_chain(
         stable_confidence_thres, add_color_thres, add_depth_thres,
         time, unstable_time_window, num_gaussians)
     n_stable = jnp.sum(state.status == STABLE)
-    return state, out, high_water_mark(state), n_stable
+    return state, high_water_mark(state), n_stable
 
 
 @partial(jax.jit, static_argnames=(
@@ -577,25 +594,55 @@ def frame_chain(
     config: GaussianMapConfig, max_each: int, height: int, width: int,
     has_stable: bool, ref_limit: int, settings,
 ):
-    """spawn_chain + lifecycle_chain as ONE executable, for frames with no
+    """spawn_chain + lifecycle as ONE executable, for frames with no
     optimization pass between them (5 of 6 frames at the Replica operating
     point).  The reference launches these as separate kernel groups
     (mapper.py:119-132); here each extra dispatch costs a device round trip,
     so the non-optimize frame becomes a single device call.
 
+    The lifecycle render resumes from the spawn render's projection/sort/
+    shade pass (the two states differ ONLY by the rows insert_temp just
+    scattered), so a non-optimize frame pays for exactly ONE [P]-row
+    projection + [P]-key depth sort total (api.render_with_inserted).
+
     Returns (state', n_inserted, model_out, lifecycle_render, hwm, n_stable).
     """
-    state, n_inserted, model_out = spawn_chain.__wrapped__(
+    from ..ops.rasterize.api import render_with_inserted
+
+    state, n_inserted, model_out, base, slots = spawn_chain.__wrapped__(
         key, state, vertex_w, normal_w, color, depth,
         w2c, K, campos, time,
         uniform_sample_num, transmission_sample_ratio, error_sample_ratio,
         add_transmission_thres, add_depth_thres, add_color_thres,
         config, max_each, height, width, False, has_stable, ref_limit,
         settings)
-    state, out, hwm, n_stable = lifecycle_chain.__wrapped__(
-        state, w2c, K, campos, color, depth,
+
+    # gather ONLY the inserted rows (activated) for the incremental render;
+    # dropped/invalid rows gather slot capacity-1 but carry alive=False so
+    # they can never enter a tile list
+    P = config.capacity
+    ok = slots < P
+    sl = jnp.minimum(slots, P - 1)
+    scaling, rotation = state.scaling[sl], state.rotation[sl]
+    M = sl.shape[0]
+    new_rows = {
+        "xyz": state.xyz[sl],
+        "scales": activated_scales(scaling),
+        "rotations": normalize(rotation),
+        "opacity": activated_opacity(state.opacity[sl]),
+        "shs_flat": shs_from_features(
+            state.features_dc[sl], state.features_rest[sl]).reshape(M, -1),
+        "normal": derived_normal(scaling, rotation),
+        "alive": ok,
+    }
+    normals_full = derived_normal(state.scaling, state.rotation)
+    out = render_with_inserted.__wrapped__(
+        new_rows, sl, normals_full, base, w2c, K, campos, settings)
+
+    state, hwm, n_stable = lifecycle_post_render.__wrapped__(
+        state, out, color, depth,
         stable_confidence_thres, add_color_thres, add_depth_thres,
-        time, unstable_time_window, config.capacity, settings)
+        time, unstable_time_window, config.capacity)
     return state, n_inserted, model_out, out, hwm, n_stable
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -209,6 +209,60 @@ def _assemble_outputs(tiles, normals, overflow, H: int, W: int):
     }
 
 
+class BasePass(NamedTuple):
+    """The reusable state of one projection/sort/shade pass: the depth-
+    sorted working set, pre-tile-gather.  Carried from the spawn render to
+    the same frame's post-insert lifecycle render (render_with_inserted)
+    so the second render skips the [P]-row projection, the [P]-key sort
+    and the SH shade."""
+
+    feat: "blend.FeatCols"        # [V] sorted columns (no sentinel)
+    keys: jnp.ndarray             # [V] sort keys: depth, +inf for invalid
+    r2: jnp.ndarray               # [V] squared pixel radius
+    order: jnp.ndarray            # [V] original slot indices
+    valid: jnp.ndarray            # [V] bool
+    visible_overflow: jnp.ndarray  # [] int32: visibles dropped by max_visible
+
+
+def _sorted_working_set(gaussians, w2c, K, campos, settings) -> BasePass:
+    """Project + depth-sort + shade: everything before tile binning."""
+    H, W = settings.height, settings.width
+    geo = project_geometry(
+        gaussians["xyz"], gaussians["scales"], gaussians["rotations"],
+        gaussians["alive"], w2c, K, W, H, settings.scale_modifier,
+    )
+    P = gaussians["xyz"].shape[0]
+    V = min(settings.max_visible, P)
+    keys_all = jnp.where(geo.visible, geo.depth, jnp.inf)
+    order = jax.lax.top_k(-keys_all, V)[1].astype(jnp.int32)
+    n_visible = jnp.sum(geo.visible).astype(jnp.int32)
+    n_valid = jnp.minimum(n_visible, V)
+    valid = jnp.arange(V, dtype=jnp.int32) < n_valid
+
+    r, g, b, elig = shade_cols(
+        gaussians["xyz"][order],
+        gaussians["shs"].reshape(P, -1)[order],
+        gaussians["normal"][order], campos,
+        settings.sh_degree, settings.normal_threshold,
+    )
+    feat = blend.FeatCols(
+        mean_x=geo.mean2d[order, 0], mean_y=geo.mean2d[order, 1],
+        conic_a=geo.conic[order, 0], conic_b=geo.conic[order, 1],
+        conic_c=geo.conic[order, 2], depth=geo.depth[order],
+        r=r, g=g, b=b,
+        opacity=gaussians["opacity"].reshape(-1)[order],
+        elig=elig.astype(jnp.float32))
+    radius = geo.radius[order]
+    return BasePass(feat=feat, keys=keys_all[order], r2=radius * radius,
+                    order=order, valid=valid,
+                    visible_overflow=n_visible - n_valid)
+
+
+def _with_sentinel(cols: "blend.FeatCols") -> "blend.FeatCols":
+    zero = jnp.zeros((1,), jnp.float32)
+    return blend.FeatCols(*(jnp.concatenate([c, zero]) for c in cols))
+
+
 @partial(jax.jit, static_argnames=("settings",))
 def render_model_and_stable(
     gaussians: Dict[str, jnp.ndarray],
@@ -237,59 +291,135 @@ def render_model_and_stable(
     stable render would keep (overflow counter reports it; exact when 0 —
     pinned by tests/test_rasterizer.py::test_model_and_stable_pair).
 
-    Returns (model_out_dict, stable_color_index_map [H, W] int32).
+    Returns (model_out_dict, stable_color_index_map [H, W] int32, BasePass
+    — the carried working set render_with_inserted resumes from).
     """
     H, W = settings.height, settings.width
-    geo = project_geometry(
-        gaussians["xyz"], gaussians["scales"], gaussians["rotations"],
-        gaussians["alive"], w2c, K, W, H, settings.scale_modifier,
-    )
-    bins = binning.bin_gaussians(
-        geo, H, W,
-        block_capacity=settings.block_capacity,
-        tile_capacity=settings.tile_capacity,
-        max_visible=settings.max_visible,
-        tile_mask=None,
-    )
-    order = bins.order
-    P = gaussians["xyz"].shape[0]
-    r, g, b, elig = shade_cols(
-        gaussians["xyz"][order],
-        gaussians["shs"].reshape(P, -1)[order],
-        gaussians["normal"][order], campos,
-        settings.sh_degree, settings.normal_threshold,
-    )
-    feat = blend._pack_features((
-        geo.mean2d[order, 0], geo.mean2d[order, 1],
-        geo.conic[order, 0], geo.conic[order, 1], geo.conic[order, 2],
-        geo.depth[order], r, g, b,
-        gaussians["opacity"].reshape(-1)[order], elig.astype(jnp.float32),
-    ))
+    base = _sorted_working_set(gaussians, w2c, K, campos, settings)
+    tile_lists, tile_counts, bin_ovf = binning.bin_sorted(
+        base.feat.mean_x, base.feat.mean_y, base.r2, base.valid,
+        H, W, settings.block_capacity, settings.tile_capacity, None)
+    overflow = (base.visible_overflow + bin_ovf).astype(jnp.int32)
+
     stable_col = jnp.concatenate([
-        stable[order].astype(jnp.float32), jnp.zeros((1,), jnp.float32)])
+        stable[base.order].astype(jnp.float32), jnp.zeros((1,), jnp.float32)])
     origins = binning.tile_origins(H, W)
-    order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
-    tile_feat, (tile_stable,) = feat.gather_with_extra(
-        (stable_col,), bins.tile_lists)
-    tile_gidx = order_pad[bins.tile_lists]
+    order_pad = jnp.concatenate([base.order, jnp.array([-1], jnp.int32)])
+    tile_feat, (tile_stable,) = _with_sentinel(base.feat).gather_with_extra(
+        (stable_col,), tile_lists)
+    tile_gidx = order_pad[tile_lists]
 
     model_tiles = blend.blend_tiles_pregathered(
-        tile_feat, tile_gidx, bins.tile_counts, origins,
+        tile_feat, tile_gidx, tile_counts, origins,
         opaque_threshold=settings.opaque_threshold,
         T_threshold=settings.T_threshold, differentiable=False)
     stable_tiles = blend.blend_tiles_pregathered(
         tile_feat.mask_contribution(tile_stable), tile_gidx,
-        bins.tile_counts, origins,
+        tile_counts, origins,
         opaque_threshold=settings.opaque_threshold,
         T_threshold=settings.T_threshold, differentiable=False)
 
     model_out = _assemble_outputs(
-        model_tiles, gaussians["normal"], bins.overflow, H, W)
+        model_tiles, gaussians["normal"], overflow, H, W)
     stable_cidx = binning.scatter_tiles(
         stable_tiles.color_index[..., None].astype(jnp.int32).reshape(
             stable_tiles.color_index.shape[0], blend.TILE * blend.TILE, 1),
         H, W)[..., 0]
-    return model_out, stable_cidx
+    return model_out, stable_cidx, base
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_with_inserted(
+    new_rows: Dict[str, jnp.ndarray],  # [M] activated rows (xyz, scales,
+                                       # rotations, opacity, shs_flat,
+                                       # normal, alive)
+    new_index: jnp.ndarray,            # [M] original slot of each row
+    normals_full: jnp.ndarray,         # [P, 3] world normals (post-insert)
+    base: BasePass,
+    w2c: jnp.ndarray,
+    K: jnp.ndarray,
+    campos: jnp.ndarray,
+    settings: RasterSettings,
+):
+    """Render base working set ∪ newly inserted gaussians, reusing the
+    carried pass.
+
+    The post-spawn lifecycle render (reference mapper.py:119-126 renders
+    the global model right after ``gaussians_add``) differs from the spawn
+    model render ONLY by the just-inserted rows: instead of re-projecting
+    and re-sorting all [P] slots, project/shade the M new rows, merge them
+    into the carried depth order by rank (two ``searchsorted`` calls give
+    collision-free merged positions, base-before-new on equal depths), and
+    re-run binning + blend on the merged [V+M] set.
+
+    DIVERGENCES from a fresh full render (both observable, both nil in
+    the no-overflow regime the capacities are sized for): (1) if the base
+    pass dropped visibles to ``max_visible``, the merged set inherits that
+    truncation (and conversely never re-truncates to max_visible, so it
+    keeps MORE entries than a fresh render would); (2) a depth TIE between
+    an old and a new gaussian orders old-first here vs slot-order in the
+    fresh sort — f32-exact ties between independent continuous depths only.
+    Exactness pinned by test_render_with_inserted_matches_fresh.
+    """
+    H, W = settings.height, settings.width
+    V = base.keys.shape[0]
+    M = new_index.shape[0]
+
+    geo_n = project_geometry(
+        new_rows["xyz"], new_rows["scales"], new_rows["rotations"],
+        new_rows["alive"], w2c, K, W, H, settings.scale_modifier,
+    )
+    r, g, b, elig = shade_cols(
+        new_rows["xyz"], new_rows["shs_flat"], new_rows["normal"], campos,
+        settings.sh_degree, settings.normal_threshold,
+    )
+    keys_n = jnp.where(geo_n.visible, geo_n.depth, jnp.inf)
+    o = jnp.argsort(keys_n)
+    keys_ns = keys_n[o]
+    feat_n = blend.FeatCols(
+        mean_x=geo_n.mean2d[o, 0], mean_y=geo_n.mean2d[o, 1],
+        conic_a=geo_n.conic[o, 0], conic_b=geo_n.conic[o, 1],
+        conic_c=geo_n.conic[o, 2], depth=geo_n.depth[o],
+        r=r[o], g=g[o], b=b[o],
+        opacity=new_rows["opacity"].reshape(-1)[o],
+        elig=elig[o].astype(jnp.float32))
+    radius_n = geo_n.radius[o]
+
+    # rank-merge: position of every entry in the combined depth order
+    pos_old = jnp.arange(V, dtype=jnp.int32) + jnp.searchsorted(
+        keys_ns, base.keys, side="left").astype(jnp.int32)
+    pos_new = jnp.arange(M, dtype=jnp.int32) + jnp.searchsorted(
+        base.keys, keys_ns, side="right").astype(jnp.int32)
+
+    # one packed scatter per side (12 columns: 11 features + r2), then one
+    # transpose back to columns — same layout reasoning as FeatCols.gather
+    rows_old = jnp.stack(tuple(base.feat) + (base.r2,), axis=-1)
+    rows_new = jnp.stack(tuple(feat_n) + (radius_n * radius_n,), axis=-1)
+    merged = jnp.zeros((V + M, 12), jnp.float32)
+    merged = merged.at[pos_old].set(rows_old).at[pos_new].set(rows_new)
+    colsT = jnp.transpose(merged, (1, 0))
+    feat_m = blend.FeatCols(*(colsT[i] for i in range(11)))
+    r2_m = colsT[11]
+    idx_m = jnp.zeros((V + M,), jnp.int32)
+    idx_m = idx_m.at[pos_old].set(base.order).at[pos_new].set(
+        new_index[o].astype(jnp.int32))
+    valid_m = jnp.zeros((V + M,), bool)
+    valid_m = valid_m.at[pos_old].set(base.valid).at[pos_new].set(
+        geo_n.visible[o])
+
+    tile_lists, tile_counts, bin_ovf = binning.bin_sorted(
+        feat_m.mean_x, feat_m.mean_y, r2_m, valid_m,
+        H, W, settings.block_capacity, settings.tile_capacity, None)
+    origins = binning.tile_origins(H, W)
+    idx_pad = jnp.concatenate([idx_m, jnp.array([-1], jnp.int32)])
+    tile_feat = _with_sentinel(feat_m).gather(tile_lists)
+    tile_gidx = idx_pad[tile_lists]
+    tiles = blend.blend_tiles_pregathered(
+        tile_feat, tile_gidx, tile_counts, origins,
+        opaque_threshold=settings.opaque_threshold,
+        T_threshold=settings.T_threshold, differentiable=False)
+    overflow = (base.visible_overflow + bin_ovf).astype(jnp.int32)
+    return _assemble_outputs(tiles, normals_full, overflow, H, W)
 
 
 @partial(jax.jit, static_argnames=("settings",))

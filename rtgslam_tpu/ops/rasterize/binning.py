@@ -115,9 +115,43 @@ def bin_gaussians(
     rank = jnp.arange(V, dtype=jnp.int32)
     valid = rank < n_valid
 
-    mx = mean2d[:, 0]
-    my = mean2d[:, 1]
-    r2 = radius * radius
+    tile_lists, tile_counts, bin_overflow = bin_sorted(
+        mean2d[:, 0], mean2d[:, 1], radius * radius, valid,
+        height, width, block_capacity, tile_capacity, tile_mask)
+
+    return Binning(
+        tile_lists=tile_lists,
+        tile_counts=tile_counts,
+        order=order,
+        n_visible=n_valid,
+        overflow=(visible_overflow + bin_overflow).astype(jnp.int32),
+    )
+
+
+def bin_sorted(
+    mx: jnp.ndarray,              # [V] screen-x of depth-sorted entries
+    my: jnp.ndarray,              # [V]
+    r2: jnp.ndarray,              # [V] squared pixel radius
+    valid: jnp.ndarray,           # [V] bool
+    height: int,
+    width: int,
+    block_capacity: int,
+    tile_capacity: int,
+    tile_mask: jnp.ndarray | None = None,
+):
+    """Block/tile binning of an ALREADY depth-sorted working set.
+
+    Split out of :func:`bin_gaussians` so an incremental render (one that
+    merges newly inserted gaussians into a carried sorted working set,
+    api.render_with_inserted) can rebuild tile lists without re-running the
+    [P]-key depth sort.  Returns (tile_lists [T, Kt] with sentinel == V,
+    tile_counts [T], block+tile overflow).
+    """
+    V = mx.shape[0]
+    tiles_y, tiles_x = tile_grid_shape(height, width)
+    blocks_y, blocks_x = cdiv(tiles_y, TILES_PER_BLOCK), cdiv(tiles_x, TILES_PER_BLOCK)
+    B = blocks_y * blocks_x
+    T = B * TILES_PER_BLOCK * TILES_PER_BLOCK
 
     def circle_hits_rect(cx, cy, rx0, ry0, size):
         """Tighter circle-vs-rect test than bbox overlap (~20-30% fewer
@@ -184,13 +218,8 @@ def bin_gaussians(
     tile_lists = flat[block_of * (block_capacity + 1)
                       + jnp.minimum(tile_pos, block_capacity)]
 
-    return Binning(
-        tile_lists=tile_lists.reshape(T, tile_capacity),
-        tile_counts=tile_counts.reshape(T),
-        order=order,
-        n_visible=n_valid,
-        overflow=(visible_overflow + block_overflow + tile_overflow).astype(jnp.int32),
-    )
+    return (tile_lists.reshape(T, tile_capacity), tile_counts.reshape(T),
+            block_overflow + tile_overflow)
 
 
 def tile_origins(height: int, width: int) -> jnp.ndarray:

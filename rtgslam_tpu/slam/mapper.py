@@ -251,7 +251,8 @@ class Mapper:
             first_frame, has_stable, ref_limit, self.settings)
         self._maybe_prewarm_bucket(map_ops.spawn_chain_donated, args,
                                    len(args) - 2, ref_limit, hwm, "spawn")
-        self.state, n_inserted, model_out = map_ops.spawn_chain_donated(*args)
+        self.state, n_inserted, model_out, _base, _slots = \
+            map_ops.spawn_chain_donated(*args)
         perf.count("map.spawn_chain", time_mod.perf_counter() - _t0)
         if model_out is not None:
             self._set_model_map(model_out)

@@ -31,7 +31,7 @@ def test_insert_and_counts():
     state = MapState.create(CFG)
     temp = make_temp(10)
     log_scales = jnp.full((CFG.temp_capacity, 3), -4.0)
-    state, n = map_ops.insert_temp(state, temp, log_scales, 5, CFG)
+    state, n, _ = map_ops.insert_temp(state, temp, log_scales, 5, CFG)
     assert int(n) == 10
     assert int(jnp.sum(state.status == UNSTABLE)) == 10
     inserted = np.asarray(state.status) == UNSTABLE
@@ -42,7 +42,7 @@ def test_insert_respects_capacity():
     small = GaussianMapConfig(capacity=8, temp_capacity=32)
     state = MapState.create(small)
     temp = make_temp(20)
-    state, n = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, small)
+    state, n, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, small)
     assert int(n) == 8
     assert int(jnp.sum(state.status == UNSTABLE)) == 8
 
@@ -50,7 +50,7 @@ def test_insert_respects_capacity():
 def test_fix_promotes_and_clips():
     state = MapState.create(CFG)
     temp = make_temp(4)
-    state, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, CFG)
+    state, _, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, CFG)
     state = state.replace(confidence=state.confidence.at[:2, 0].set(99.0))
     state = map_ops.fix_confident(state, 50.0)
     status = np.asarray(state.status)
@@ -61,7 +61,7 @@ def test_fix_promotes_and_clips():
 def test_delete_big_and_expired():
     state = MapState.create(CFG)
     temp = make_temp(20)
-    state, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, CFG)
+    state, _, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, CFG)
     # blow up one gaussian's scale so it exceeds 10x the pool mean radius
     big_row = int(np.nonzero(np.asarray(state.status) == UNSTABLE)[0][0])
     state = state.replace(scaling=state.scaling.at[big_row].set(2.0))
@@ -75,7 +75,7 @@ def test_delete_big_and_expired():
 def test_dedup_rejects_points_inside_existing():
     state = MapState.create(CFG)
     temp0 = make_temp(5)
-    state, _ = map_ops.insert_temp(
+    state, _, _ = map_ops.insert_temp(
         state, temp0, jnp.full((32, 3), np.log(0.05)), 0, CFG)
     # same positions again -> all rejected; far positions -> kept
     near = make_temp(5)
@@ -89,7 +89,7 @@ def test_dedup_rejects_points_inside_existing():
 def test_error_update_strikes_and_heals():
     state = MapState.create(CFG)
     temp = make_temp(3)
-    state, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, CFG)
+    state, _, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, CFG)
     state = state.replace(status=jnp.where(state.status == UNSTABLE, STABLE,
                                            state.status))
     rows = np.nonzero(np.asarray(state.status) == STABLE)[0]
@@ -112,7 +112,7 @@ def test_error_update_strikes_and_heals():
 def test_history_merge_weights():
     state = MapState.create(CFG)
     temp = make_temp(4)
-    state, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, CFG)
+    state, _, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, CFG)
     hist = map_ops.capture_history(state)
     mask = state.status == UNSTABLE
     # confidence 0 -> history weight ~0 -> state unchanged
@@ -146,7 +146,7 @@ def test_donated_twins_match_value_semantics():
 
     state = MapState.create(CFG)
     temp = make_temp(12)
-    state, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, CFG)
+    state, _, _ = map_ops.insert_temp(state, temp, jnp.full((32, 3), -4.0), 0, CFG)
     state = state.replace(confidence=state.confidence.at[:3, 0].set(99.0))
 
     ref = map_ops.fix_all(state)

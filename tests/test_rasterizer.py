@@ -337,7 +337,7 @@ def test_model_and_stable_pair_matches_standalone():
     g_stable = dict(g, alive=stable_j)
     stable_ref = render(g_stable, cam, st)
 
-    model_out, stable_cidx = render_model_and_stable(
+    model_out, stable_cidx, _base = render_model_and_stable(
         g, stable_j, cam["w2c"], cam["K"], cam["campos"], st)
 
     assert int(model_out["overflow"]) == 0
@@ -362,9 +362,55 @@ def test_model_and_stable_pair_empty_stable():
 
     g, cam, st = make_scene(P=64, n_alive=8, seed=2)
     model_ref = render(g, cam, st)
-    model_out, stable_cidx = render_model_and_stable(
+    model_out, stable_cidx, _base = render_model_and_stable(
         g, jnp.zeros(64, bool), cam["w2c"], cam["K"], cam["campos"], st)
     np.testing.assert_allclose(
         np.asarray(model_ref["render"]), np.asarray(model_out["render"]),
         atol=1e-6)
     assert np.all(np.asarray(stable_cidx) == -1)
+
+
+def test_render_with_inserted_matches_fresh():
+    """The incremental lifecycle render (base pass + merged inserted rows,
+    api.render_with_inserted) must match a fresh full render of the union
+    exactly when nothing overflows — including sentinel (dropped) insert
+    slots, which must be blend-invisible."""
+    from rtgslam_tpu.ops.rasterize.api import (
+        render_model_and_stable, render_with_inserted)
+
+    g, cam, st = make_scene(P=96, n_alive=40, seed=13)
+    first = jnp.arange(96) < 24
+    g_base = dict(g, alive=g["alive"] & first)
+
+    _, _, base = render_model_and_stable(
+        g_base, jnp.zeros(96, bool), cam["w2c"], cam["K"], cam["campos"], st)
+
+    # rows 24..39 are the "inserted" set; two sentinel slots (=P) model
+    # temp rows that were dropped for lack of free capacity
+    slots = jnp.concatenate([jnp.arange(24, 40, dtype=jnp.int32),
+                             jnp.full((2,), 96, jnp.int32)])
+    ok = slots < 96
+    sl = jnp.minimum(slots, 95)
+    new_rows = {
+        "xyz": g["xyz"][sl],
+        "scales": g["scales"][sl],
+        "rotations": g["rotations"][sl],
+        "opacity": g["opacity"][sl],
+        "shs_flat": g["shs"].reshape(96, -1)[sl],
+        "normal": g["normal"][sl],
+        "alive": ok,
+    }
+    out = render_with_inserted(
+        new_rows, sl, g["normal"], base,
+        cam["w2c"], cam["K"], cam["campos"], st)
+
+    fresh = render(g, cam, st)
+    assert int(out["overflow"]) == 0
+    for k in ("render", "depth", "normal", "T_map", "color_hit_weight",
+              "depth_hit_weight"):
+        np.testing.assert_allclose(
+            np.asarray(fresh[k]), np.asarray(out[k]), atol=1e-6,
+            err_msg=f"{k} differs")
+    for k in ("color_index_map", "depth_index_map"):
+        np.testing.assert_array_equal(
+            np.asarray(fresh[k]), np.asarray(out[k]), err_msg=f"{k} differs")
