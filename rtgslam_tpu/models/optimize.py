@@ -248,7 +248,12 @@ def optimize_chain(
     cams = {"w2c": w2cs, "K": Ks, "campos": camposes}
     if not local and sample_ratio > 0:
         cams["gt_color"] = colors
-    rmasks, tiles = jax.lax.map(make_masks, cams)
+    # vmap, not lax.map: the F per-frame mask renders batch into ONE pass —
+    # in particular the F [P]-key depth sorts become one batched sort, and
+    # the per-tile early-exit while loops run lockstep across frames (the
+    # few extra masked iterations are far cheaper than F sequential
+    # dispatch chains)
+    rmasks, tiles = jax.vmap(make_masks)(cams)
     if mask_depth_positive:
         rmasks = rmasks & (depths > 0)
 
