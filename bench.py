@@ -77,6 +77,9 @@ def make_args(H, W, env_overrides=True):
             if env in os.environ:
                 setattr(args, attr, int(os.environ[env]))
     args.max_visible = args.map_capacity // 2
+    # approximation lever A/B (PERF.md): sort/bin once per optimize call
+    args.optimize_freeze_binning = bool(
+        int(os.environ.get("BENCH_FREEZE_BINNING", "0")))
     opt = OptimizationParams().extract(args)
     return args, opt
 

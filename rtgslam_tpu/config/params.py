@@ -150,5 +150,6 @@ class MapParams(ParamGroup):
         self.tile_capacity = 1024
         self.use_pallas_blend = False
         self.use_fused_vjp = True
+        self.optimize_freeze_binning = False
         self.multi_device = False
         super().__init__(parser, "Map Parameters", sentinel)

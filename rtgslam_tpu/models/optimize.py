@@ -25,7 +25,7 @@ global) — the reference achieves the same by only parametrizing that pool.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, NamedTuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,9 +67,17 @@ def _loss_fn(params: Dict[str, jnp.ndarray], aux, frame, settings: RasterSetting
         "normal": derived_normal(params["scaling"], params["rotation"]),
         "alive": aux["render_alive"],
     }
-    out = _render_impl.__wrapped__(
-        gauss, frame["w2c"], frame["K"], frame["campos"], frame["tile_mask"],
-        settings, True, True)
+    if "bin_order" in frame:
+        from ..ops.rasterize.api import render_fixed_binning
+
+        out = render_fixed_binning.__wrapped__(
+            gauss, frame["bin_order"], frame["bin_tile_lists"],
+            frame["bin_tile_counts"], frame["w2c"], frame["K"],
+            frame["campos"], settings)
+    else:
+        out = _render_impl.__wrapped__(
+            gauss, frame["w2c"], frame["K"], frame["campos"], frame["tile_mask"],
+            settings, True, True)
 
     rmask = frame["render_mask"]
     color_loss = masked_mean(
@@ -141,8 +149,15 @@ def run_optimize(
     lrs: Dict[str, jnp.ndarray],
     hyper: Dict[str, jnp.ndarray],
     settings: RasterSettings,
+    frozen_bins: Optional[Dict[str, jnp.ndarray]] = None,
 ):
-    """Run the optimization loop; returns (state', confidence-aware, report)."""
+    """Run the optimization loop; returns (state', confidence-aware, report).
+
+    ``frozen_bins`` (optional): per-frame precomputed binning
+    {"order" [F, V], "tile_lists" [F, T, Kt], "tile_counts" [F, T]} — when
+    given, every iteration renders through api.render_fixed_binning
+    instead of re-sorting/re-binning (see optimize_chain freeze_binning).
+    """
     params = state.params()
     zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
     aux = {"render_alive": render_alive, "update_mask": update_mask}
@@ -160,6 +175,10 @@ def run_optimize(
             "render_mask": frames.render_mask[f],
             "tile_mask": frames.tile_mask[f],
         }
+        if frozen_bins is not None:
+            frame["bin_order"] = frozen_bins["order"][f]
+            frame["bin_tile_lists"] = frozen_bins["tile_lists"][f]
+            frame["bin_tile_counts"] = frozen_bins["tile_counts"][f]
         (_, report), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
             params, aux, frame, settings, hyper)
         params, m, v = _adam_step(params, grads, m, v, i, lrs, update_mask)
@@ -175,7 +194,8 @@ def run_optimize(
 
 
 @partial(jax.jit, static_argnames=(
-    "settings", "mode", "sample_ratio", "mask_depth_positive", "max_weight"))
+    "settings", "mode", "sample_ratio", "mask_depth_positive", "max_weight",
+    "freeze_binning"))
 def optimize_chain(
     state: MapState,
     colors, depths, normals, w2cs, Ks, camposes,   # stacked [F, ...]
@@ -188,6 +208,7 @@ def optimize_chain(
     sample_ratio: float,               # >0: top-k color-error tiles (global)
     mask_depth_positive: bool,
     max_weight: float,                 # history-merge weight (local mode)
+    freeze_binning: bool = False,      # sort/bin once per call, not per iter
 ):
     """The COMPLETE local/global optimization pass as ONE executable.
 
@@ -260,9 +281,36 @@ def optimize_chain(
     frames = FrameBatch(color=colors, depth=depths, normal=normals,
                         w2c=w2cs, K=Ks, campos=camposes,
                         render_mask=rmasks, tile_mask=tiles)
+
+    frozen_bins = None
+    if freeze_binning:
+        # one batched sort/bin pass over the F frames from the INITIAL
+        # parameters; every iteration then reuses its frame's lists
+        # (api.render_fixed_binning documents the approximation)
+        from ..ops.rasterize.project import project_geometry
+
+        gauss0 = render_inputs(state, render_alive)
+
+        def make_bins(cam, tile):
+            from ..ops.rasterize import binning as binning_mod
+
+            geo = project_geometry(
+                gauss0["xyz"], gauss0["scales"], gauss0["rotations"],
+                gauss0["alive"], cam["w2c"], cam["K"], W, H,
+                settings.scale_modifier)
+            bins = binning_mod.bin_gaussians(
+                geo, H, W, settings.block_capacity, settings.tile_capacity,
+                settings.max_visible, tile_mask=tile)
+            return bins.order, bins.tile_lists, bins.tile_counts
+
+        orders, lists, counts = jax.vmap(make_bins)(
+            {"w2c": w2cs, "K": Ks, "campos": camposes}, tiles)
+        frozen_bins = {"order": orders, "tile_lists": lists,
+                       "tile_counts": counts}
+
     state, report = run_optimize.__wrapped__(
         state, frames, frame_seq, n_iters, render_alive, update_mask,
-        lrs, hyper, settings)
+        lrs, hyper, settings, frozen_bins)
     if local:
         state = history_merge(state, hist, max_weight, unstable_mask(state))
     return state, report
@@ -275,5 +323,5 @@ def optimize_chain(
 optimize_chain_donated = partial(
     jax.jit, static_argnames=(
         "settings", "mode", "sample_ratio", "mask_depth_positive",
-        "max_weight"),
+        "max_weight", "freeze_binning"),
     donate_argnames=("state",))(optimize_chain.__wrapped__)

@@ -423,6 +423,63 @@ def render_with_inserted(
 
 
 @partial(jax.jit, static_argnames=("settings",))
+def render_fixed_binning(
+    gaussians: Dict[str, jnp.ndarray],
+    order: jnp.ndarray,        # [V] frozen depth order (sorted -> original)
+    tile_lists: jnp.ndarray,   # [T, Kt] frozen per-tile lists (sentinel V)
+    tile_counts: jnp.ndarray,  # [T]
+    w2c: jnp.ndarray,
+    K: jnp.ndarray,
+    campos: jnp.ndarray,
+    settings: RasterSettings,
+):
+    """Differentiable render over a FROZEN depth order and tile lists.
+
+    The optimize loop's approximation lever (`optimize_freeze_binning`):
+    within one 50-iteration optimization call the attach anchor holds
+    gaussians near their snapshot (optimize.py _loss_fn), so the depth
+    order and tile membership computed from the INITIAL parameters stay
+    ~valid for the whole call.  Sorting and binning once per call instead
+    of per iteration removes the [P]-key top_k sort and the binning
+    cumsum/scatter from every iteration; projection, shading, gathers and
+    the blend still run fresh each iteration (they carry the gradients).
+
+    DIVERGENCE from the reference (which re-sorts per iteration like
+    every 3DGS trainer): blend order and tile membership lag parameter
+    updates within a call.  Gated off by default; quality impact bounded
+    by tests/test_optimize.py::test_freeze_binning_quality.
+    """
+    H, W = settings.height, settings.width
+    geo = project_geometry(
+        gaussians["xyz"], gaussians["scales"], gaussians["rotations"],
+        gaussians["alive"], w2c, K, W, H, settings.scale_modifier,
+    )
+    P = gaussians["xyz"].shape[0]
+    r, g, b, elig = shade_cols(
+        gaussians["xyz"][order],
+        gaussians["shs"].reshape(P, -1)[order],
+        gaussians["normal"][order], campos,
+        settings.sh_degree, settings.normal_threshold,
+    )
+    feat = blend._pack_features((
+        geo.mean2d[order, 0], geo.mean2d[order, 1],
+        geo.conic[order, 0], geo.conic[order, 1], geo.conic[order, 2],
+        geo.depth[order], r, g, b,
+        gaussians["opacity"].reshape(-1)[order], elig.astype(jnp.float32),
+    ))
+    origins = binning.tile_origins(H, W)
+    order_pad = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
+    tiles = blend.blend_tiles_fused(
+        feat.gather(tile_lists), order_pad[tile_lists],
+        tile_counts, origins,
+        settings.opaque_threshold, settings.T_threshold,
+        settings.use_pallas_vjp, settings.pallas_interpret,
+    )
+    return _assemble_outputs(
+        tiles, gaussians["normal"], jnp.int32(0), H, W)
+
+
+@partial(jax.jit, static_argnames=("settings",))
 def render_transmission(
     gaussians: Dict[str, jnp.ndarray],
     w2c: jnp.ndarray,

@@ -64,6 +64,8 @@ class Mapper:
         self.keyframe_trans_thes = float(args.keyframe_trans_thes)
         self.keyframe_theta_thes = float(args.keyframe_theta_thes)
         self.history_merge_max_weight = float(args.history_merge_max_weight)
+        self.freeze_binning = bool(
+            getattr(args, "optimize_freeze_binning", False))
 
         self.uniform_sample_num = int(args.uniform_sample_num)
         self.add_depth_thres = float(args.add_depth_thres)
@@ -499,7 +501,8 @@ class Mapper:
                 self._lrs(opt), self._weights(opt), self.settings,
                 mode="local", sample_ratio=-1.0,
                 mask_depth_positive=(self.dataset_type == "Scannetpp"),
-                max_weight=self.history_merge_max_weight)
+                max_weight=self.history_merge_max_weight,
+                freeze_binning=self.freeze_binning)
         perf.count("map.local_optimize", time_mod.perf_counter() - _t0)
         if self.tb_writer is not None:
             self.train_report(self.get_total_iter,
@@ -584,7 +587,7 @@ class Mapper:
                     jnp.asarray(seq, jnp.int32), n_iters, lrs, weights,
                     self.settings, mode="global", sample_ratio=sample_ratio,
                     mask_depth_positive=(self.dataset_type == "Scannetpp"),
-                    max_weight=0.0)
+                    max_weight=0.0, freeze_binning=self.freeze_binning)
             perf.count("map.global_optimize", time_mod.perf_counter() - _t0)
         else:
             # final sweep: shuffled keyframes, a chunk of iterations each
@@ -599,7 +602,7 @@ class Mapper:
                     jnp.asarray(seq, jnp.int32), n_iters, lrs, weights,
                     self.settings, mode="global", sample_ratio=-1.0,
                     mask_depth_positive=(self.dataset_type == "Scannetpp"),
-                    max_weight=0.0)
+                    max_weight=0.0, freeze_binning=self.freeze_binning)
         return report
 
     # ------------------------------------------------------------------

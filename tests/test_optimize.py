@@ -81,3 +81,42 @@ def test_dynamic_iteration_count_no_retrace():
             state, frames, seq, n, alive_mask(state), unstable_mask(state),
             lrs, hyper, settings)
         assert np.isfinite(np.asarray(out.xyz)).all()
+
+
+def test_freeze_binning_quality():
+    """optimize_freeze_binning (sort/bin once per call) must (a) be EXACTLY
+    the per-iteration path when parameters don't move (zero lr), and (b)
+    still optimize: loss decreases and lands within 1.5x of the exact
+    path's final loss on the tiny problem."""
+    state, frames, settings, lrs, hyper = _problem()
+    frames = frames._replace(color=jnp.full_like(frames.color, 0.8))
+    lrs = dict(lrs, features_dc=jnp.float32(2e-2))
+    weights = {
+        "color_weight": jnp.float32(0.8),
+        "depth_weight": jnp.float32(1.0),
+        "normal_weight": jnp.float32(0.0),
+        "add_depth_thres": jnp.float32(0.1),
+    }
+    seq = jnp.zeros(30, jnp.int32)
+
+    def run(n_iters, lrs_, freeze):
+        return optimize.optimize_chain(
+            state, frames.color, frames.depth, frames.normal,
+            frames.w2c, frames.K, frames.campos, seq, n_iters,
+            lrs_, weights, settings, mode="local", sample_ratio=-1.0,
+            mask_depth_positive=False, max_weight=0.5,
+            freeze_binning=freeze)
+
+    # (a) zero learning rate -> no parameter drift -> bit-equal losses
+    lrs0 = {k: jnp.float32(0.0) for k in optimize.PARAM_KEYS}
+    _, r_e0 = run(3, lrs0, False)
+    _, r_f0 = run(3, lrs0, True)
+    assert np.isclose(float(r_e0["total"]), float(r_f0["total"]),
+                      rtol=1e-6, atol=1e-7)
+
+    # (b) real optimization: frozen path converges comparably
+    _, r1 = run(1, lrs, False)
+    _, r_e = run(30, lrs, False)
+    _, r_f = run(30, lrs, True)
+    assert float(r_f["color"]) < float(r1["color"])
+    assert float(r_f["total"]) <= 1.5 * float(r_e["total"]) + 1e-4
