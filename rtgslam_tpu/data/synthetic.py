@@ -166,10 +166,18 @@ def look_at_c2w(pos: np.ndarray, target: np.ndarray, up=np.array([0.0, 1.0, 0.0]
 
 
 def orbit_trajectory(scene: RoomScene, n_frames: int,
-                     frames_per_rev: int = 900) -> List[np.ndarray]:
+                     frames_per_rev: int = 900,
+                     look_mult: float = 1.33) -> List[np.ndarray]:
     """Smooth interior orbit with *constant physical velocity* (~2 cm and
     <0.5 deg per frame at the default rate, like a handheld RGBD capture) —
-    frame count only controls how much of the orbit is covered."""
+    frame count only controls how much of the orbit is covered.
+
+    ``look_mult`` decouples view rotation from orbital position (1.33
+    default sweeps more of the room per lap).  Loop-closure probes set
+    ``look_mult=1.0`` and a small ``frames_per_rev`` so laps genuinely
+    REVISIT earlier views (same position AND same view direction) — with
+    the 1.33 default the view at position-revisit differs by ~119 deg and
+    no place-recognition gate can accept it."""
     center = (scene.lo + scene.hi) / 2
     poses = []
     for i in range(n_frames):
@@ -178,7 +186,7 @@ def orbit_trajectory(scene: RoomScene, n_frames: int,
         pos = center + np.array([
             0.45 * np.cos(ang), 0.25 * np.sin(2 * ang) + 0.1, 0.45 * np.sin(ang),
         ])
-        look_ang = 2 * np.pi * s * 1.33
+        look_ang = 2 * np.pi * s * look_mult
         target = center + np.array([
             1.8 * np.cos(look_ang), 0.35 * np.sin(look_ang * 0.5), 1.8 * np.sin(look_ang),
         ])
@@ -209,12 +217,14 @@ def default_intrinsics(H: int, W: int) -> np.ndarray:
 
 
 def make_cameras(n_frames: int = 20, H: int = 240, W: int = 320,
-                 scene: RoomScene | None = None, depth_noise: float = 0.0) -> List[Camera]:
+                 scene: RoomScene | None = None, depth_noise: float = 0.0,
+                 frames_per_rev: int = 900,
+                 look_mult: float = 1.33) -> List[Camera]:
     """In-memory synthetic sequence of Camera frames with gt poses."""
     scene = scene or RoomScene()
     K = default_intrinsics(H, W)
     cams = []
-    raw_poses = orbit_trajectory(scene, n_frames)
+    raw_poses = orbit_trajectory(scene, n_frames, frames_per_rev, look_mult)
     # store first-frame-normalized poses (dataset readers do the same,
     # scene/dataset_readers.py:868-876) but render from the raw world pose
     first_inv = np.linalg.inv(raw_poses[0])
