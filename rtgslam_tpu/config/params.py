@@ -151,5 +151,6 @@ class MapParams(ParamGroup):
         self.use_pallas_blend = False
         self.use_fused_vjp = True
         self.optimize_freeze_binning = False
+        self.optimize_compact = True
         self.multi_device = False
         super().__init__(parser, "Map Parameters", sentinel)

@@ -56,6 +56,50 @@ class FrameBatch(NamedTuple):
     tile_mask: jnp.ndarray    # [F, ty, tx] int32
 
 
+def _image_losses(out, frame, hyper):
+    """Masked color/depth/normal losses over one rendered frame
+    (``loss_update`` semantics, mapper.py:371-469) — shared by the full,
+    fixed-binning and compact render paths (index-map space-agnostic:
+    only ``>= 0`` is tested)."""
+    rmask = frame["render_mask"]
+    color_loss = masked_mean(
+        jnp.sum(jnp.abs(out["render"] - frame["color"]), axis=-1) / 3.0, rmask)
+    # the reference takes l1 over 3 channels of masked pixels: same mean
+
+    depth = out["depth"][..., 0]
+    gt_depth = frame["depth"]
+    depth_err = depth - gt_depth
+    dmask = (out["depth_index_map"] >= 0) & (gt_depth > 0) \
+        & (depth_err < hyper["add_depth_thres"]) & rmask
+    depth_loss = masked_mean(jnp.abs(depth_err), dmask)
+
+    gt_normal = frame["normal"]
+    cos = jnp.sum(out["normal"] * gt_normal, axis=-1) / (
+        jnp.linalg.norm(out["normal"], axis=-1)
+        * jnp.linalg.norm(gt_normal, axis=-1) + 1e-8)
+    nmask = rmask & (out["depth_index_map"] >= 0) \
+        & jnp.any(gt_normal != 0, axis=-1)
+    normal_loss = masked_mean(1.0 - cos, nmask)
+    return color_loss, depth_loss, normal_loss
+
+
+def _attach_loss(params, aux, hyper):
+    """Anchor low-opacity gaussians to their pre-optimization snapshot
+    (weight 1000, mapper.py:445-453) — full-[P] row-masked means."""
+    attach_rows = (activated_opacity(hyper["hist_opacity"])[:, 0] < 0.9) \
+        & aux["update_mask"]
+
+    def row_l2(a, b):
+        per_row = jnp.mean((a - b).reshape(a.shape[0], -1) ** 2, axis=-1)
+        return masked_mean(per_row, attach_rows)
+
+    return 1000.0 * (
+        row_l2(params["scaling"], hyper["hist_scaling"])
+        + row_l2(params["xyz"], hyper["hist_xyz"])
+        + row_l2(params["rotation"], hyper["hist_rotation_raw"])
+    )
+
+
 def _loss_fn(params: Dict[str, jnp.ndarray], aux, frame, settings: RasterSettings,
              hyper: Dict[str, jnp.ndarray]):
     gauss = {
@@ -79,39 +123,46 @@ def _loss_fn(params: Dict[str, jnp.ndarray], aux, frame, settings: RasterSetting
             gauss, frame["w2c"], frame["K"], frame["campos"], frame["tile_mask"],
             settings, True, True)
 
-    rmask = frame["render_mask"]
-    color_loss = masked_mean(
-        jnp.sum(jnp.abs(out["render"] - frame["color"]), axis=-1) / 3.0, rmask)
-    # the reference takes l1 over 3 channels of masked pixels: same mean
+    color_loss, depth_loss, normal_loss = _image_losses(out, frame, hyper)
+    attach_loss = _attach_loss(params, aux, hyper)
 
-    depth = out["depth"][..., 0]
-    gt_depth = frame["depth"]
-    depth_err = depth - gt_depth
-    dmask = (out["depth_index_map"] >= 0) & (gt_depth > 0) \
-        & (depth_err < hyper["add_depth_thres"]) & rmask
-    depth_loss = masked_mean(jnp.abs(depth_err), dmask)
+    total = (hyper["color_weight"] * color_loss
+             + hyper["depth_weight"] * depth_loss
+             + hyper["normal_weight"] * normal_loss)
+    report = {"total": total, "color": color_loss, "depth": depth_loss,
+              "normal": normal_loss, "attach": attach_loss}
+    return total + attach_loss, report
 
-    gt_normal = frame["normal"]
-    cos = jnp.sum(out["normal"] * gt_normal, axis=-1) / (
-        jnp.linalg.norm(out["normal"], axis=-1)
-        * jnp.linalg.norm(gt_normal, axis=-1) + 1e-8)
-    nmask = rmask & (out["depth_index_map"] >= 0) \
-        & jnp.any(gt_normal != 0, axis=-1)
-    normal_loss = masked_mean(1.0 - cos, nmask)
 
-    # attach anchor on low-opacity gaussians (row-masked means)
-    attach_rows = (activated_opacity(hyper["hist_opacity"])[:, 0] < 0.9) \
-        & aux["update_mask"]
+def _loss_fn_compact(params: Dict[str, jnp.ndarray], aux, frame,
+                     settings: RasterSettings, hyper: Dict[str, jnp.ndarray]):
+    """:func:`_loss_fn` over the COMPACT working set (see
+    api.render_compact): gather the frame's ~n_visible live rows from the
+    full [P] params (whose autodiff backward is the scatter-add returning
+    gradients to full rows), activate/project/shade/blend at [Vc]/[Ktc]
+    bucket sizes.  The attach anchor stays full-[P] (exact reference
+    semantics; it touches only the slim xyz/scaling/rotation arrays)."""
+    from ..ops.rasterize.api import render_compact
 
-    def row_l2(a, b):
-        per_row = jnp.mean((a - b).reshape(a.shape[0], -1) ** 2, axis=-1)
-        return masked_mean(per_row, attach_rows)
+    order_c = frame["order_c"]                       # [Vc] rows into [P]
+    p_c = {k: params[k][order_c] for k in PARAM_KEYS}
+    Vc = order_c.shape[0]
+    gauss_c = {
+        "xyz": p_c["xyz"],
+        "scales": activated_scales(p_c["scaling"]),
+        "rotations": normalize(p_c["rotation"]),
+        "opacity": activated_opacity(p_c["opacity"]),
+        "shs_flat": shs_from_features(
+            p_c["features_dc"], p_c["features_rest"]).reshape(Vc, -1),
+        "normal": derived_normal(p_c["scaling"], p_c["rotation"]),
+        "valid": frame["valid_c"],
+    }
+    out = render_compact.__wrapped__(
+        gauss_c, frame["tile_lists_c"], frame["tile_counts_c"],
+        frame["w2c"], frame["K"], frame["campos"], settings)
 
-    attach_loss = 1000.0 * (
-        row_l2(params["scaling"], hyper["hist_scaling"])
-        + row_l2(params["xyz"], hyper["hist_xyz"])
-        + row_l2(params["rotation"], hyper["hist_rotation_raw"])
-    )
+    color_loss, depth_loss, normal_loss = _image_losses(out, frame, hyper)
+    attach_loss = _attach_loss(params, aux, hyper)
 
     total = (hyper["color_weight"] * color_loss
              + hyper["depth_weight"] * depth_loss
@@ -193,46 +244,15 @@ def run_optimize(
     return state.with_params(params).replace(confidence=confidence), report
 
 
-@partial(jax.jit, static_argnames=(
-    "settings", "mode", "sample_ratio", "mask_depth_positive", "max_weight",
-    "freeze_binning"))
-def optimize_chain(
-    state: MapState,
-    colors, depths, normals, w2cs, Ks, camposes,   # stacked [F, ...]
-    frame_seq: jnp.ndarray,
-    n_iters,
-    lrs: Dict[str, jnp.ndarray],
-    weights: Dict[str, jnp.ndarray],   # color/depth/normal weights + add_depth_thres
-    settings: RasterSettings,
-    mode: str,                         # "local" | "global"
-    sample_ratio: float,               # >0: top-k color-error tiles (global)
-    mask_depth_positive: bool,
-    max_weight: float,                 # history-merge weight (local mode)
-    freeze_binning: bool = False,      # sort/bin once per call, not per iter
-):
-    """The COMPLETE local/global optimization pass as ONE executable.
-
-    Covers reference ``local_optimize`` (mapper.py:143-210) / the windowed
-    part of ``global_optimization`` (mapper.py:594-712): history snapshot,
-    the per-frame partial-render masks (``evaluate_render_range``,
-    mapper.py:471-508 — one inference render per memory frame), the
-    render->loss->grad->Adam loop, and the history EMA merge.  The host
-    previously issued 2 + 3*F separate dispatches for this; each one costs
-    a device round trip.
-    """
+def _make_masks_impl(state, cams, settings, mode, sample_ratio, H, W):
+    """Per-frame partial-render masks (``evaluate_render_range``,
+    mapper.py:471-508) — the shared first stage of optimize_chain and
+    optimize_prepare.  ``cams`` are stacked [F, ...]; vmapped so the F
+    [P]-key depth sorts batch into one pass."""
     from ..ops import preprocess
-    from .map_ops import capture_history, history_merge
-    from .gaussian_map import alive_mask, render_inputs, stable_mask, unstable_mask
+    from .gaussian_map import render_inputs, stable_mask, unstable_mask
 
-    H, W = settings.height, settings.width
     local = mode == "local"
-    render_alive = alive_mask(state) if local else stable_mask(state)
-    update_mask = unstable_mask(state) if local else stable_mask(state)
-    hist = capture_history(state)
-    hyper = dict(weights)
-    hyper.update(hist_opacity=hist["opacity"], hist_scaling=hist["scaling"],
-                 hist_xyz=hist["xyz"], hist_rotation_raw=hist["rotation_raw"])
-
     mask_gauss = render_inputs(
         state, unstable_mask(state) if local else stable_mask(state))
 
@@ -266,6 +286,179 @@ def optimize_chain(
             tile = jnp.ones(((H + 15) // 16, (W + 15) // 16), jnp.int32)
         return rmask, tile
 
+    return jax.vmap(make_masks)(cams)
+
+
+@partial(jax.jit, static_argnames=(
+    "settings", "mode", "sample_ratio", "mask_depth_positive"))
+def optimize_prepare(
+    state: MapState,
+    colors, depths, normals, w2cs, Ks, camposes,   # stacked [F, ...]
+    settings: RasterSettings,
+    mode: str,
+    sample_ratio: float,
+    mask_depth_positive: bool,
+):
+    """Stage 1 of the compact optimize path: per-frame masks + one frozen
+    binning pass, plus the two occupancy scalars the host needs to pick the
+    static compaction buckets for :func:`optimize_execute`.
+
+    Returns (rmasks [F,H,W], tiles [F,ty,tx], orders [F,V], tile_lists
+    [F,T,Kt], tile_counts [F,T], n_vis [F], n_vis_max [], cnt_max []).
+    The host fetches only the two scalars (one small D2H round trip on the
+    1-in-gaussian_update_frame optimize frames).
+    """
+    from ..ops.rasterize import binning as binning_mod
+    from ..ops.rasterize.project import project_geometry
+    from .gaussian_map import alive_mask, render_inputs, stable_mask
+
+    H, W = settings.height, settings.width
+    local = mode == "local"
+    render_alive = alive_mask(state) if local else stable_mask(state)
+
+    cams = {"w2c": w2cs, "K": Ks, "campos": camposes}
+    if not local and sample_ratio > 0:
+        cams["gt_color"] = colors
+    rmasks, tiles = _make_masks_impl(state, cams, settings, mode,
+                                     sample_ratio, H, W)
+    if mask_depth_positive:
+        rmasks = rmasks & (depths > 0)
+
+    gauss0 = render_inputs(state, render_alive)
+
+    def make_bins(cam, tile):
+        geo = project_geometry(
+            gauss0["xyz"], gauss0["scales"], gauss0["rotations"],
+            gauss0["alive"], cam["w2c"], cam["K"], W, H,
+            settings.scale_modifier)
+        bins = binning_mod.bin_gaussians(
+            geo, H, W, settings.block_capacity, settings.tile_capacity,
+            settings.max_visible, tile_mask=tile)
+        return bins.order, bins.tile_lists, bins.tile_counts, bins.n_visible
+
+    orders, lists, counts, nvis = jax.vmap(make_bins)(
+        {"w2c": w2cs, "K": Ks, "campos": camposes}, tiles)
+    return (rmasks, tiles, orders, lists, counts, nvis,
+            jnp.max(nvis), jnp.max(counts))
+
+
+@partial(jax.jit, static_argnames=("settings", "mode", "max_weight",
+                                   "Vc", "Ktc"))
+def optimize_execute(
+    state: MapState,
+    colors, depths, normals, w2cs, Ks, camposes,   # stacked [F, ...]
+    rmasks, tiles,                                 # from optimize_prepare
+    orders, lists, counts, nvis,                   # from optimize_prepare
+    frame_seq: jnp.ndarray,
+    n_iters,
+    lrs: Dict[str, jnp.ndarray],
+    weights: Dict[str, jnp.ndarray],
+    settings: RasterSettings,
+    mode: str,
+    max_weight: float,
+    Vc: int,
+    Ktc: int,
+):
+    """Stage 2 of the compact optimize path: the render->loss->grad->Adam
+    loop over the COMPACT working set (api.render_compact), followed by the
+    local-mode history merge — one executable, like optimize_chain's loop.
+
+    ``Vc``/``Ktc`` are static host-picked power-of-two buckets with
+    ``Vc >= max(nvis)`` and ``Ktc >= max(counts)``; under those bounds the
+    iteration math is bitwise-identical to the freeze_binning path (crops
+    only ever remove sentinel entries).  Measured 13.7 -> 5.2 ms/iter at
+    the bench point (OPT_COMPACT_PROBE.json).
+    """
+    from .map_ops import capture_history, history_merge
+    from .gaussian_map import stable_mask, unstable_mask
+
+    local = mode == "local"
+    update_mask = unstable_mask(state) if local else stable_mask(state)
+    hist = capture_history(state)
+    hyper = dict(weights)
+    hyper.update(hist_opacity=hist["opacity"], hist_scaling=hist["scaling"],
+                 hist_xyz=hist["xyz"], hist_rotation_raw=hist["rotation_raw"])
+    aux = {"update_mask": update_mask}
+
+    # static crops: [F, V] -> [F, Vc], [F, T, Kt] -> [F, T, Ktc]; real
+    # entries are sorted positions < nvis <= Vc, so every entry >= Vc is
+    # the sentinel (remapped V -> Vc); counts <= Ktc by bucket choice.
+    orders_c = orders[:, :Vc]
+    lists_c = jnp.minimum(lists[:, :, :Ktc], Vc)
+    counts_c = jnp.minimum(counts, Ktc)
+
+    params = state.params()
+    zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
+
+    def body(i, carry):
+        params, m, v, confidence, _ = carry
+        f = frame_seq[i]
+        frame = {
+            "color": colors[f], "depth": depths[f], "normal": normals[f],
+            "w2c": w2cs[f], "K": Ks[f], "campos": camposes[f],
+            "render_mask": rmasks[f],
+            "order_c": orders_c[f],
+            "tile_lists_c": lists_c[f],
+            "tile_counts_c": counts_c[f],
+            "valid_c": jnp.arange(Vc, dtype=jnp.int32) < nvis[f],
+        }
+        (_, report), grads = jax.value_and_grad(_loss_fn_compact, has_aux=True)(
+            params, aux, frame, settings, hyper)
+        params, m, v = _adam_step(params, grads, m, v, i, lrs, update_mask)
+        touched = jnp.any(grads["features_dc"] != 0, axis=-1) & update_mask
+        confidence = confidence + touched[:, None].astype(jnp.float32)
+        return params, m, v, confidence, report
+
+    init_report = {k: jnp.float32(0)
+                   for k in ("total", "color", "depth", "normal", "attach")}
+    params, _, _, confidence, report = jax.lax.fori_loop(
+        0, n_iters, body,
+        (params, zeros, dict(zeros), state.confidence, init_report))
+    state = state.with_params(params).replace(confidence=confidence)
+    if local:
+        state = history_merge(state, hist, max_weight, unstable_mask(state))
+    return state, report
+
+
+@partial(jax.jit, static_argnames=(
+    "settings", "mode", "sample_ratio", "mask_depth_positive", "max_weight",
+    "freeze_binning"))
+def optimize_chain(
+    state: MapState,
+    colors, depths, normals, w2cs, Ks, camposes,   # stacked [F, ...]
+    frame_seq: jnp.ndarray,
+    n_iters,
+    lrs: Dict[str, jnp.ndarray],
+    weights: Dict[str, jnp.ndarray],   # color/depth/normal weights + add_depth_thres
+    settings: RasterSettings,
+    mode: str,                         # "local" | "global"
+    sample_ratio: float,               # >0: top-k color-error tiles (global)
+    mask_depth_positive: bool,
+    max_weight: float,                 # history-merge weight (local mode)
+    freeze_binning: bool = False,      # sort/bin once per call, not per iter
+):
+    """The COMPLETE local/global optimization pass as ONE executable.
+
+    Covers reference ``local_optimize`` (mapper.py:143-210) / the windowed
+    part of ``global_optimization`` (mapper.py:594-712): history snapshot,
+    the per-frame partial-render masks (``evaluate_render_range``,
+    mapper.py:471-508 — one inference render per memory frame), the
+    render->loss->grad->Adam loop, and the history EMA merge.  The host
+    previously issued 2 + 3*F separate dispatches for this; each one costs
+    a device round trip.
+    """
+    from .map_ops import capture_history, history_merge
+    from .gaussian_map import alive_mask, render_inputs, stable_mask, unstable_mask
+
+    H, W = settings.height, settings.width
+    local = mode == "local"
+    render_alive = alive_mask(state) if local else stable_mask(state)
+    update_mask = unstable_mask(state) if local else stable_mask(state)
+    hist = capture_history(state)
+    hyper = dict(weights)
+    hyper.update(hist_opacity=hist["opacity"], hist_scaling=hist["scaling"],
+                 hist_xyz=hist["xyz"], hist_rotation_raw=hist["rotation_raw"])
+
     cams = {"w2c": w2cs, "K": Ks, "campos": camposes}
     if not local and sample_ratio > 0:
         cams["gt_color"] = colors
@@ -274,7 +467,8 @@ def optimize_chain(
     # the per-tile early-exit while loops run lockstep across frames (the
     # few extra masked iterations are far cheaper than F sequential
     # dispatch chains)
-    rmasks, tiles = jax.vmap(make_masks)(cams)
+    rmasks, tiles = _make_masks_impl(state, cams, settings, mode,
+                                     sample_ratio, H, W)
     if mask_depth_positive:
         rmasks = rmasks & (depths > 0)
 
@@ -325,3 +519,10 @@ optimize_chain_donated = partial(
         "settings", "mode", "sample_ratio", "mask_depth_positive",
         "max_weight", "freeze_binning"),
     donate_argnames=("state",))(optimize_chain.__wrapped__)
+
+# Same contract for the compact path's loop stage (the prepare stage only
+# READS the state — no donation there; its outputs must survive the fetch
+# of the bucket scalars).
+optimize_execute_donated = partial(
+    jax.jit, static_argnames=("settings", "mode", "max_weight", "Vc", "Ktc"),
+    donate_argnames=("state",))(optimize_execute.__wrapped__)

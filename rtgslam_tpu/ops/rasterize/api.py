@@ -480,6 +480,73 @@ def render_fixed_binning(
 
 
 @partial(jax.jit, static_argnames=("settings",))
+def render_compact(
+    gaussians_c: Dict[str, jnp.ndarray],
+    tile_lists_c: jnp.ndarray,   # [T, Ktc] compact-space indices (sentinel Vc)
+    tile_counts_c: jnp.ndarray,  # [T]
+    w2c: jnp.ndarray,
+    K: jnp.ndarray,
+    campos: jnp.ndarray,
+    settings: RasterSettings,
+):
+    """Differentiable render over a COMPACT pre-gathered working set.
+
+    The round-4 optimize-loop formulation (`optimize.optimize_execute`):
+    instead of projecting/shading all [P] capacity rows (or the [V] sorted
+    order) every iteration, the caller gathers the ~n_visible live rows
+    once per iteration into ``gaussians_c`` (activated arrays of length
+    ``Vc``, a static power-of-two bucket >= the frame's visible count) and
+    supplies tile lists re-indexed into that compact space, cropped to a
+    ``Ktc`` bucket >= the max per-tile count.  Projection, SH shade, the
+    per-tile gather and the blend then all scale with the LIVE population:
+    measured 13.7 -> 5.2 ms per optimize iteration at the 170x300 bench
+    point (OPT_COMPACT_PROBE.json).
+
+    Same blend math as :func:`render_fixed_binning`; bitwise-identical
+    outputs when ``Vc >= n_visible`` and ``Ktc >= max tile count`` (chunk
+    boundaries coincide — pinned by tests/test_optimize.py).
+
+    DIVERGENCE from the full render: the index maps are in COMPACT space
+    (the position of the gaussian in ``gaussians_c``), not original map
+    slots — the optimize loss only tests ``>= 0`` and gathers normals,
+    both space-agnostic.  Reference context: the per-iteration re-sorting
+    trainer loop this replaces is ``local_optimize`` mapper.py:143-210.
+
+    ``gaussians_c`` keys: xyz [Vc,3], scales [Vc,3], rotations [Vc,4],
+    opacity [Vc,1] (activated), shs_flat [Vc,3K], normal [Vc,3],
+    valid [Vc] bool.
+    """
+    H, W = settings.height, settings.width
+    Vc = gaussians_c["xyz"].shape[0]
+    geo = project_geometry(
+        gaussians_c["xyz"], gaussians_c["scales"], gaussians_c["rotations"],
+        gaussians_c["valid"], w2c, K, W, H, settings.scale_modifier,
+    )
+    r, g, b, elig = shade_cols(
+        gaussians_c["xyz"], gaussians_c["shs_flat"], gaussians_c["normal"],
+        campos, settings.sh_degree, settings.normal_threshold,
+    )
+    feat = blend._pack_features((
+        geo.mean2d[:, 0], geo.mean2d[:, 1],
+        geo.conic[:, 0], geo.conic[:, 1], geo.conic[:, 2],
+        geo.depth, r, g, b,
+        gaussians_c["opacity"].reshape(-1), elig.astype(jnp.float32),
+    ))
+    origins = binning.tile_origins(H, W)
+    # compact-space identity index map: entry e -> e, sentinel Vc -> -1
+    gidx_pad = jnp.concatenate(
+        [jnp.arange(Vc, dtype=jnp.int32), jnp.array([-1], jnp.int32)])
+    tiles = blend.blend_tiles_fused(
+        feat.gather(tile_lists_c), gidx_pad[tile_lists_c],
+        tile_counts_c, origins,
+        settings.opaque_threshold, settings.T_threshold,
+        settings.use_pallas_vjp, settings.pallas_interpret,
+    )
+    return _assemble_outputs(
+        tiles, gaussians_c["normal"], jnp.int32(0), H, W)
+
+
+@partial(jax.jit, static_argnames=("settings",))
 def render_transmission(
     gaussians: Dict[str, jnp.ndarray],
     w2c: jnp.ndarray,

@@ -120,3 +120,66 @@ def test_freeze_binning_quality():
     _, r_f = run(30, lrs, True)
     assert float(r_f["color"]) < float(r1["color"])
     assert float(r_f["total"]) <= 1.5 * float(r_e["total"]) + 1e-4
+
+
+def test_compact_matches_freeze():
+    """The two-stage compact path (optimize_prepare -> optimize_execute with
+    host-picked static buckets) must reproduce the freeze_binning path's
+    result: the crops only ever remove sentinel entries when Vc >= n_visible
+    and Ktc >= max tile count, so the iteration math is identical."""
+    state, frames, settings, lrs, hyper = _problem()
+    frames = frames._replace(color=jnp.full_like(frames.color, 0.8))
+    lrs = dict(lrs, features_dc=jnp.float32(2e-2))
+    weights = {
+        "color_weight": jnp.float32(0.8),
+        "depth_weight": jnp.float32(1.0),
+        "normal_weight": jnp.float32(0.0),
+        "add_depth_thres": jnp.float32(0.1),
+    }
+    seq = jnp.zeros(12, jnp.int32)
+    n_iters = 12
+
+    ref_state, ref_report = optimize.optimize_chain(
+        state, frames.color, frames.depth, frames.normal,
+        frames.w2c, frames.K, frames.campos, seq, n_iters,
+        lrs, weights, settings, mode="local", sample_ratio=-1.0,
+        mask_depth_positive=False, max_weight=0.5, freeze_binning=True)
+
+    (rmasks, tiles, orders, lists, counts, nvis,
+     nvis_max, cnt_max) = optimize.optimize_prepare(
+        state, frames.color, frames.depth, frames.normal,
+        frames.w2c, frames.K, frames.campos, settings=settings,
+        mode="local", sample_ratio=-1.0, mask_depth_positive=False)
+
+    def bucket(n, floor, cap):
+        b = floor
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
+    # deliberately SMALLER than the full shapes so the crops are exercised
+    Vc = bucket(int(nvis_max), 64, orders.shape[-1])
+    Ktc = bucket(int(cnt_max), 64, lists.shape[-1])
+    assert Vc < orders.shape[-1] or Ktc < lists.shape[-1], \
+        "tiny problem should exercise at least one real crop"
+
+    out_state, out_report = optimize.optimize_execute(
+        state, frames.color, frames.depth, frames.normal,
+        frames.w2c, frames.K, frames.campos,
+        rmasks, tiles, orders, lists, counts, nvis,
+        seq, n_iters, lrs, weights, settings,
+        mode="local", max_weight=0.5, Vc=Vc, Ktc=Ktc)
+
+    np.testing.assert_allclose(np.asarray(out_state.xyz),
+                               np.asarray(ref_state.xyz),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_state.features_dc),
+                               np.asarray(ref_state.features_dc),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_state.opacity),
+                               np.asarray(ref_state.opacity),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_state.confidence),
+                                  np.asarray(ref_state.confidence))
+    assert np.isclose(float(out_report["total"]), float(ref_report["total"]),
+                      rtol=1e-5, atol=1e-6)
