@@ -134,35 +134,35 @@ def _loss_fn(params: Dict[str, jnp.ndarray], aux, frame, settings: RasterSetting
     return total + attach_loss, report
 
 
-def _loss_fn_compact(params: Dict[str, jnp.ndarray], aux, frame,
+def _loss_fn_compact(params_c: Dict[str, jnp.ndarray], aux, frame,
                      settings: RasterSettings, hyper: Dict[str, jnp.ndarray]):
-    """:func:`_loss_fn` over the COMPACT working set (see
-    api.render_compact): gather the frame's ~n_visible live rows from the
-    full [P] params (whose autodiff backward is the scatter-add returning
-    gradients to full rows), activate/project/shade/blend at [Vc]/[Ktc]
-    bucket sizes.  The attach anchor stays full-[P] (exact reference
-    semantics; it touches only the slim xyz/scaling/rotation arrays)."""
+    """:func:`_loss_fn` over the POOL-COMPACT working set: ``params_c`` are
+    the optimized pool's rows gathered ONCE per call by optimize_execute
+    (not per iteration), so activation/projection/shade/blend — and, in the
+    caller, Adam and its moment state — all scale with the live population
+    (an [Ac] bucket) instead of the [P] capacity.  Tile lists arrive
+    pre-remapped into compact row space (see api.render_compact).  The
+    attach anchor runs over the same compact rows — exactly the full-[P]
+    value, since attach rows ⊆ update pool ⊆ the compact basis."""
     from ..ops.rasterize.api import render_compact
 
-    order_c = frame["order_c"]                       # [Vc] rows into [P]
-    p_c = {k: params[k][order_c] for k in PARAM_KEYS}
-    Vc = order_c.shape[0]
+    Ac = params_c["xyz"].shape[0]
     gauss_c = {
-        "xyz": p_c["xyz"],
-        "scales": activated_scales(p_c["scaling"]),
-        "rotations": normalize(p_c["rotation"]),
-        "opacity": activated_opacity(p_c["opacity"]),
+        "xyz": params_c["xyz"],
+        "scales": activated_scales(params_c["scaling"]),
+        "rotations": normalize(params_c["rotation"]),
+        "opacity": activated_opacity(params_c["opacity"]),
         "shs_flat": shs_from_features(
-            p_c["features_dc"], p_c["features_rest"]).reshape(Vc, -1),
-        "normal": derived_normal(p_c["scaling"], p_c["rotation"]),
-        "valid": frame["valid_c"],
+            params_c["features_dc"], params_c["features_rest"]).reshape(Ac, -1),
+        "normal": derived_normal(params_c["scaling"], params_c["rotation"]),
+        "valid": aux["row_valid"],
     }
     out = render_compact.__wrapped__(
         gauss_c, frame["tile_lists_c"], frame["tile_counts_c"],
         frame["w2c"], frame["K"], frame["campos"], settings)
 
     color_loss, depth_loss, normal_loss = _image_losses(out, frame, hyper)
-    attach_loss = _attach_loss(params, aux, hyper)
+    attach_loss = _attach_loss(params_c, aux, hyper)
 
     total = (hyper["color_weight"] * color_loss
              + hyper["depth_weight"] * depth_loss
@@ -290,7 +290,7 @@ def _make_masks_impl(state, cams, settings, mode, sample_ratio, H, W):
 
 
 @partial(jax.jit, static_argnames=(
-    "settings", "mode", "sample_ratio", "mask_depth_positive"))
+    "settings", "mode", "sample_ratio", "mask_depth_positive", "row_limit"))
 def optimize_prepare(
     state: MapState,
     colors, depths, normals, w2cs, Ks, camposes,   # stacked [F, ...]
@@ -298,33 +298,119 @@ def optimize_prepare(
     mode: str,
     sample_ratio: float,
     mask_depth_positive: bool,
+    row_limit: Optional[int] = None,
 ):
-    """Stage 1 of the compact optimize path: per-frame masks + one frozen
-    binning pass, plus the two occupancy scalars the host needs to pick the
-    static compaction buckets for :func:`optimize_execute`.
+    """Stage 1 of the compact optimize path: per-frame partial-render masks
+    + one frozen binning pass per frame, plus the occupancy scalars the host
+    needs to pick the static compaction buckets for
+    :func:`optimize_execute`.
 
-    Returns (rmasks [F,H,W], tiles [F,ty,tx], orders [F,V], tile_lists
-    [F,T,Kt], tile_counts [F,T], n_vis [F], n_vis_max [], cnt_max []).
+    LOCAL mode shares ONE projection / [P]-key depth sort / binning pass per
+    frame between the mask render and the frozen bins: the mask is the
+    unstable pool's transmission, and unstable is a subset of alive, so the
+    alive pass's tile lists reproduce it exactly with non-unstable alpha
+    contributions zeroed (the pool-variant render trick,
+    api.render_model_and_stable) — the separate mask-render pipeline (its
+    own projection + sort + binning, reference ``evaluate_render_range``
+    mapper.py:471-508) collapses into one cheap transmission blend.  The
+    local tile mask (>=50 %-coverage pooling of the mask) is applied AFTER
+    binning by zeroing tile counts (binning.tile_mask_flat) —
+    blend-equivalent to binning under the mask.  GLOBAL mode keeps the
+    two-stage structure (the sample_ratio > 0 branch needs a full color
+    render of the stable pool first).
+
+    ``row_limit`` (static) bounds every [P]-row stage to the occupied slot
+    prefix (inserts fill the lowest free slots — the same high-water-mark
+    bucketing the KNN scans use, mapper._cached_hwm); slot ids are preserved
+    by the prefix so all returned indices remain original map slots.
+
+    Returns (rmasks [F,H,W], tiles [F,ty,tx], lists_orig [F,T,Kt] — tile
+    lists in ORIGINAL slot space (sentinel = capacity), tile_counts [F,T],
+    pool_order [L], n_pool [], cnt_max []).  Slot-space lists keep
+    :func:`optimize_execute`'s signature independent of ``row_limit``, so
+    high-water-mark bucket crossings recompile only this (cheaper) stage.
     The host fetches only the two scalars (one small D2H round trip on the
     1-in-gaussian_update_frame optimize frames).
     """
     from ..ops.rasterize import binning as binning_mod
+    from ..ops.rasterize import blend as blend_mod
     from ..ops.rasterize.project import project_geometry
-    from .gaussian_map import alive_mask, render_inputs, stable_mask
+    from ..ops import preprocess
+    from .gaussian_map import (
+        activated_opacity, activated_scales, alive_mask, render_inputs,
+        stable_mask, unstable_mask)
 
     H, W = settings.height, settings.width
     local = mode == "local"
-    render_alive = alive_mask(state) if local else stable_mask(state)
+    L = row_limit or state.capacity
+    pool_full = alive_mask(state) if local else stable_mask(state)
+    # compact basis: pool rows first (stable argsort), original slot ids
+    pool_order = jnp.argsort(
+        jnp.where(pool_full[:L], 0, 1).astype(jnp.int32),
+        stable=True).astype(jnp.int32)
+    n_pool = jnp.sum(pool_full[:L]).astype(jnp.int32)
 
+    if local:
+        pool = pool_full[:L]
+        mask_pool = unstable_mask(state)[:L].astype(jnp.float32)
+        xyz = state.xyz[:L]
+        scales = activated_scales(state.scaling[:L])
+        rots = normalize(state.rotation[:L])
+        opa = activated_opacity(state.opacity[:L]).reshape(-1)
+
+        def per_frame(cam, depth):
+            geo = project_geometry(
+                xyz, scales, rots, pool, cam["w2c"], cam["K"], W, H,
+                settings.scale_modifier)
+            bins = binning_mod.bin_gaussians(
+                geo, H, W, settings.block_capacity, settings.tile_capacity,
+                min(settings.max_visible, L), tile_mask=None)
+            order = bins.order
+            zero = jnp.zeros((1,), jnp.float32)
+            # 6 transmission columns with the unstable-pool contribution
+            # mask folded into opacity (zero alpha = blend-invisible)
+            cols = tuple(
+                jnp.concatenate([col, zero])[bins.tile_lists]
+                for col in (geo.mean2d[order, 0], geo.mean2d[order, 1],
+                            geo.conic[order, 0], geo.conic[order, 1],
+                            geo.conic[order, 2],
+                            opa[order] * mask_pool[order]))
+            T = blend_mod.blend_transmission(
+                cols, bins.tile_counts, binning_mod.tile_origins(H, W),
+                T_threshold=settings.T_threshold)
+            T_map = binning_mod.scatter_tiles(
+                T.reshape(T.shape[0], blend_mod.TILE * blend_mod.TILE, 1),
+                H, W)
+            rmask = T_map[..., 0] != 1.0
+            tile = preprocess.transmission_to_tilemask(rmask, 16, 0.5)
+            counts = jnp.where(
+                binning_mod.tile_mask_flat(tile, H, W) > 0,
+                bins.tile_counts, 0)
+            if mask_depth_positive:
+                rmask = rmask & (depth > 0)
+            # sorted position -> original slot (sentinel V' -> capacity)
+            order_pad = jnp.concatenate(
+                [order, jnp.array([state.capacity], jnp.int32)])
+            return rmask, tile, order_pad[bins.tile_lists], counts
+
+        rmasks, tiles, lists_orig, counts = jax.vmap(per_frame)(
+            {"w2c": w2cs, "K": Ks, "campos": camposes}, depths)
+        return (rmasks, tiles, lists_orig, counts,
+                pool_order, n_pool, jnp.max(counts))
+
+    # ---- global mode: masks first, then the frozen binning pass ----------
     cams = {"w2c": w2cs, "K": Ks, "campos": camposes}
-    if not local and sample_ratio > 0:
+    if sample_ratio > 0:
         cams["gt_color"] = colors
     rmasks, tiles = _make_masks_impl(state, cams, settings, mode,
                                      sample_ratio, H, W)
     if mask_depth_positive:
         rmasks = rmasks & (depths > 0)
 
-    gauss0 = render_inputs(state, render_alive)
+    gauss0 = render_inputs(state, pool_full)
+    gauss0 = {k: (v[:L] if hasattr(v, "ndim") and v.ndim >= 1
+                  and v.shape[0] == state.capacity else v)
+              for k, v in gauss0.items()}
 
     def make_bins(cam, tile):
         geo = project_geometry(
@@ -333,22 +419,24 @@ def optimize_prepare(
             settings.scale_modifier)
         bins = binning_mod.bin_gaussians(
             geo, H, W, settings.block_capacity, settings.tile_capacity,
-            settings.max_visible, tile_mask=tile)
-        return bins.order, bins.tile_lists, bins.tile_counts, bins.n_visible
+            min(settings.max_visible, L), tile_mask=tile)
+        order_pad = jnp.concatenate(
+            [bins.order, jnp.array([state.capacity], jnp.int32)])
+        return order_pad[bins.tile_lists], bins.tile_counts
 
-    orders, lists, counts, nvis = jax.vmap(make_bins)(
+    lists_orig, counts = jax.vmap(make_bins)(
         {"w2c": w2cs, "K": Ks, "campos": camposes}, tiles)
-    return (rmasks, tiles, orders, lists, counts, nvis,
-            jnp.max(nvis), jnp.max(counts))
+    return (rmasks, tiles, lists_orig, counts,
+            pool_order, n_pool, jnp.max(counts))
 
 
 @partial(jax.jit, static_argnames=("settings", "mode", "max_weight",
-                                   "Vc", "Ktc"))
+                                   "Ac", "Ktc"))
 def optimize_execute(
     state: MapState,
     colors, depths, normals, w2cs, Ks, camposes,   # stacked [F, ...]
-    rmasks, tiles,                                 # from optimize_prepare
-    orders, lists, counts, nvis,                   # from optimize_prepare
+    rmasks,                                        # from optimize_prepare
+    lists_orig, counts, pool_rows, n_pool,         # from optimize_prepare
     frame_seq: jnp.ndarray,
     n_iters,
     lrs: Dict[str, jnp.ndarray],
@@ -356,64 +444,89 @@ def optimize_execute(
     settings: RasterSettings,
     mode: str,
     max_weight: float,
-    Vc: int,
+    Ac: int,
     Ktc: int,
 ):
     """Stage 2 of the compact optimize path: the render->loss->grad->Adam
-    loop over the COMPACT working set (api.render_compact), followed by the
-    local-mode history merge — one executable, like optimize_chain's loop.
+    loop in POOL-COMPACT space, followed by the local-mode history merge —
+    one executable, like optimize_chain's loop.
 
-    ``Vc``/``Ktc`` are static host-picked power-of-two buckets with
-    ``Vc >= max(nvis)`` and ``Ktc >= max(counts)``; under those bounds the
-    iteration math is bitwise-identical to the freeze_binning path (crops
-    only ever remove sentinel entries).  Measured 13.7 -> 5.2 ms/iter at
-    the bench point (OPT_COMPACT_PROBE.json).
+    The optimized pool's rows (alive for local, stable for global) are
+    gathered ONCE into an [Ac] bucket; params, Adam moments, the attach
+    anchor, the confidence counter and every per-iteration render stage
+    live in that space, and the per-frame slot-space tile lists are
+    remapped into it once up front (visible is a subset of the pool so
+    every real entry remaps; ``pool_rows`` is pool_order already cropped to
+    [Ac] by the caller, keeping this signature independent of the prepare
+    stage's row_limit).  Updated rows scatter back to the full [P] SoA once
+    at the end.  ``Ac``/``Ktc`` are
+    static host-picked power-of-two buckets with ``Ac >= n_pool`` and
+    ``Ktc >= max(counts)``; under those bounds the math is identical to the
+    freeze_binning path (test_compact_matches_freeze).  Measured slope at
+    the 170x300 bench point: plain 25.0 -> frozen 13.7 -> compact ~5 ms per
+    iteration (OPT_ITER_PROBE.json / OPT_COMPACT_PROBE.json).
     """
     from .map_ops import capture_history, history_merge
     from .gaussian_map import stable_mask, unstable_mask
 
+    P = state.capacity
     local = mode == "local"
-    update_mask = unstable_mask(state) if local else stable_mask(state)
+    update_full = unstable_mask(state) if local else stable_mask(state)
     hist = capture_history(state)
-    hyper = dict(weights)
-    hyper.update(hist_opacity=hist["opacity"], hist_scaling=hist["scaling"],
-                 hist_xyz=hist["xyz"], hist_rotation_raw=hist["rotation_raw"])
-    aux = {"update_mask": update_mask}
 
-    # static crops: [F, V] -> [F, Vc], [F, T, Kt] -> [F, T, Ktc]; real
-    # entries are sorted positions < nvis <= Vc, so every entry >= Vc is
-    # the sentinel (remapped V -> Vc); counts <= Ktc by bucket choice.
-    orders_c = orders[:, :Vc]
-    lists_c = jnp.minimum(lists[:, :, :Ktc], Vc)
+    # ---- compact basis (once per call) -----------------------------------
+    rows = pool_rows                                  # [Ac] original slot ids
+    row_valid = jnp.arange(Ac, dtype=jnp.int32) < n_pool
+    params_full = state.params()
+    params_c = {k: v[rows] for k, v in params_full.items()}
+    update_c = update_full[rows] & row_valid
+    conf_c = state.confidence[rows]
+    hyper = dict(weights)
+    hyper.update(hist_opacity=hist["opacity"][rows],
+                 hist_scaling=hist["scaling"][rows],
+                 hist_xyz=hist["xyz"][rows],
+                 hist_rotation_raw=hist["rotation_raw"][rows])
+    aux = {"update_mask": update_c, "row_valid": row_valid}
+
+    # ---- remap tile lists into compact row space (once per call) ---------
+    # original slot (sentinel P) -> compact row (sentinel Ac)
+    inv = jnp.full((P + 1,), Ac, jnp.int32)
+    inv = inv.at[jnp.where(row_valid, rows, P)].set(
+        jnp.arange(Ac, dtype=jnp.int32))
+    inv = inv.at[P].set(Ac)
+    lists_a = inv[lists_orig[:, :, :Ktc]]
     counts_c = jnp.minimum(counts, Ktc)
 
-    params = state.params()
-    zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
+    zeros = {k: jnp.zeros_like(v) for k, v in params_c.items()}
 
     def body(i, carry):
-        params, m, v, confidence, _ = carry
+        params_c, m, v, conf_c, _ = carry
         f = frame_seq[i]
         frame = {
             "color": colors[f], "depth": depths[f], "normal": normals[f],
             "w2c": w2cs[f], "K": Ks[f], "campos": camposes[f],
             "render_mask": rmasks[f],
-            "order_c": orders_c[f],
-            "tile_lists_c": lists_c[f],
+            "tile_lists_c": lists_a[f],
             "tile_counts_c": counts_c[f],
-            "valid_c": jnp.arange(Vc, dtype=jnp.int32) < nvis[f],
         }
         (_, report), grads = jax.value_and_grad(_loss_fn_compact, has_aux=True)(
-            params, aux, frame, settings, hyper)
-        params, m, v = _adam_step(params, grads, m, v, i, lrs, update_mask)
-        touched = jnp.any(grads["features_dc"] != 0, axis=-1) & update_mask
-        confidence = confidence + touched[:, None].astype(jnp.float32)
-        return params, m, v, confidence, report
+            params_c, aux, frame, settings, hyper)
+        params_c, m, v = _adam_step(params_c, grads, m, v, i, lrs, update_c)
+        touched = jnp.any(grads["features_dc"] != 0, axis=-1) & update_c
+        conf_c = conf_c + touched[:, None].astype(jnp.float32)
+        return params_c, m, v, conf_c, report
 
     init_report = {k: jnp.float32(0)
                    for k in ("total", "color", "depth", "normal", "attach")}
-    params, _, _, confidence, report = jax.lax.fori_loop(
+    params_c, _, _, conf_c, report = jax.lax.fori_loop(
         0, n_iters, body,
-        (params, zeros, dict(zeros), state.confidence, init_report))
+        (params_c, zeros, dict(zeros), conf_c, init_report))
+
+    # ---- scatter compact rows back into the full SoA ---------------------
+    scatter_idx = jnp.where(row_valid, rows, P)       # OOB rows drop
+    params = {k: v.at[scatter_idx].set(params_c[k], mode="drop")
+              for k, v in params_full.items()}
+    confidence = state.confidence.at[scatter_idx].set(conf_c, mode="drop")
     state = state.with_params(params).replace(confidence=confidence)
     if local:
         state = history_merge(state, hist, max_weight, unstable_mask(state))
@@ -524,5 +637,5 @@ optimize_chain_donated = partial(
 # READS the state — no donation there; its outputs must survive the fetch
 # of the bucket scalars).
 optimize_execute_donated = partial(
-    jax.jit, static_argnames=("settings", "mode", "max_weight", "Vc", "Ktc"),
+    jax.jit, static_argnames=("settings", "mode", "max_weight", "Ac", "Ktc"),
     donate_argnames=("state",))(optimize_execute.__wrapped__)

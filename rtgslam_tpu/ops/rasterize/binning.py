@@ -222,6 +222,23 @@ def bin_sorted(
             block_overflow + tile_overflow)
 
 
+def tile_mask_flat(tile_mask: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """[tiles_y, tiles_x] mask -> [T] in the block-major flat tile layout
+    (the layout of tile_lists/tile_counts).  Lets callers apply a tile mask
+    AFTER binning by zeroing counts — blend-equivalent to binning with the
+    mask (masked tiles produce empty lists either way); used by the shared
+    prepare pass (optimize_prepare) which computes its binning before the
+    mask exists."""
+    tiles_y, tiles_x = tile_grid_shape(height, width)
+    blocks_y, blocks_x = cdiv(tiles_y, TILES_PER_BLOCK), cdiv(tiles_x, TILES_PER_BLOCK)
+    B = blocks_y * blocks_x
+    padded = jnp.zeros(
+        (blocks_y * TILES_PER_BLOCK, blocks_x * TILES_PER_BLOCK), jnp.int32
+    ).at[:tiles_y, :tiles_x].set(tile_mask.astype(jnp.int32))
+    m = padded.reshape(blocks_y, TILES_PER_BLOCK, blocks_x, TILES_PER_BLOCK)
+    return m.transpose(0, 2, 1, 3).reshape(B * TILES_PER_BLOCK * TILES_PER_BLOCK)
+
+
 def tile_origins(height: int, width: int) -> jnp.ndarray:
     """[T, 2] (x, y) pixel origin of each flat tile in block-major layout
     (the layout produced by :func:`bin_gaussians`)."""

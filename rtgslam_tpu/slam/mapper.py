@@ -443,24 +443,24 @@ class Mapper:
             b *= 2
         return min(b, cap)
 
-    def _maybe_prewarm_execute(self, args, statics, Vc, Ktc, nvis, cmax,
-                               V, Kt) -> None:
-        """Background-compile the NEXT (Vc, Ktc) bucket once occupancy
+    def _maybe_prewarm_execute(self, args, statics, Ac, Ktc, n_pool, cmax,
+                               L, Kt) -> None:
+        """Background-compile the NEXT (Ac, Ktc) bucket once occupancy
         passes 3/4 of the current one (same rationale as
         _maybe_prewarm_bucket: the crossing frame then finds a warm
         compilation cache instead of stalling for the XLA compile)."""
         candidates = []
-        if nvis * 4 > Vc * 3 and Vc * 2 <= V:
-            candidates.append((Vc * 2, Ktc))
+        if n_pool * 4 > Ac * 3 and Ac * 2 <= L:
+            candidates.append((Ac * 2, Ktc))
         if cmax * 4 > Ktc * 3 and Ktc * 2 <= Kt:
-            candidates.append((Vc, Ktc * 2))
-        for nv, nk in candidates:
-            key = ("exec", nv, nk, statics["mode"])
+            candidates.append((Ac, Ktc * 2))
+        for na, nk in candidates:
+            key = ("exec", na, nk, statics["mode"])
             if key in self._warmed_buckets:
                 continue
             self._warmed_buckets.add(key)
             specs = [self._aval_spec(a) for a in args]
-            st = dict(statics, Vc=nv, Ktc=nk)
+            st = dict(statics, Ac=na, Ktc=nk)
 
             def warm(specs=specs, st=st):
                 try:
@@ -470,44 +470,84 @@ class Mapper:
                     pass
 
             threading.Thread(target=warm, daemon=True,
-                             name=f"prewarm-exec-{nv}-{nk}").start()
+                             name=f"prewarm-exec-{na}-{nk}").start()
 
     def _optimize_compact(self, entries, seq, n_iters, lrs, weights, mode,
                           sample_ratio, max_weight):
         """Two-dispatch compact optimization (PERF.md round 4): stage 1
-        computes masks + one frozen binning pass and the occupancy scalars;
-        the host fetches the 2 scalars, picks static power-of-two buckets
-        (visible-set size Vc, per-tile list length Ktc), and stage 2 runs
-        the whole loop over the compacted working set.  Measured 13.7 ->
-        5.2 ms per iteration at the bench point (OPT_COMPACT_PROBE.json).
+        computes masks + one frozen binning pass per frame (shared
+        projection/sort in local mode) and the occupancy scalars; the host
+        fetches the 2 scalars, picks static power-of-two buckets (pool size
+        Ac, per-tile list length Ktc), and stage 2 runs the whole loop in
+        pool-compact space.  Measured per-iteration slope 25.0 (plain) ->
+        ~5 ms (compact) at the bench point (OPT_COMPACT_PROBE.json).
 
         DIVERGENCE from the reference (which re-sorts/re-bins every
         iteration, mapper.py:143-210): blend order and tile membership are
         frozen per call — the freeze_binning approximation, quality-bounded
         by test_freeze_binning_quality; given the buckets the compact math
-        is bitwise-identical to the freeze_binning path
+        is identical to the freeze_binning path
         (test_compact_matches_freeze)."""
         stacked = self._stack_entries(entries)
         mdp = self.dataset_type == "Scannetpp"
-        (rmasks, tiles, orders, lists, counts, nvis,
-         nvis_max, cnt_max) = optimize.optimize_prepare(
-            self.state, *stacked, settings=self.settings, mode=mode,
-            sample_ratio=sample_ratio, mask_depth_positive=mdp)
-        for dev in (nvis_max, cnt_max):
+        # the cached high-water mark predates this frame's spawn — cover the
+        # worst-case insertion so fresh rows stay inside the prefix
+        hwm = (int(self._hwm_dev) if self._hwm_dev is not None else 0) \
+            + self.max_spawn
+        L = self.REF_LIMIT_FLOOR
+        while L < hwm:
+            L *= 2
+        L = min(L, self.config.capacity)
+        prep_args = (self.state, *stacked)
+        prep_statics = dict(settings=self.settings, mode=mode,
+                            sample_ratio=sample_ratio,
+                            mask_depth_positive=mdp, row_limit=L)
+        if hwm * 4 > L * 3 and L * 2 <= self.config.capacity:
+            self._prewarm_prepare(prep_args, prep_statics, L * 2)
+        (rmasks, tiles, lists_orig, counts, pool_order,
+         n_pool_dev, cnt_max_dev) = optimize.optimize_prepare(
+            *prep_args, **prep_statics)
+        for dev in (n_pool_dev, cnt_max_dev):
             if hasattr(dev, "copy_to_host_async"):
                 dev.copy_to_host_async()
-        nv, cm = int(nvis_max), int(cnt_max)
-        V, Kt = orders.shape[-1], lists.shape[-1]
-        Vc = self._pow2_bucket(nv, 256, V)
+        n_pool, cm = int(n_pool_dev), int(cnt_max_dev)
+        Kt = lists_orig.shape[-1]
+        Ac = self._pow2_bucket(n_pool, 256, self.config.capacity)
         Ktc = self._pow2_bucket(cm, 64, Kt)
-        args = (self.state, *stacked, rmasks, tiles, orders, lists, counts,
-                nvis, jnp.asarray(seq, jnp.int32), n_iters, lrs, weights)
+        # crop the compact basis OUTSIDE execute: its executable then
+        # depends only on (Ac, Ktc), not on the prepare stage's row_limit
+        pool_rows = pool_order[:Ac] if Ac <= pool_order.shape[0] else \
+            jnp.pad(pool_order, (0, Ac - pool_order.shape[0]),
+                    constant_values=self.config.capacity - 1)
+        args = (self.state, *stacked, rmasks, lists_orig, counts,
+                pool_rows, n_pool_dev, jnp.asarray(seq, jnp.int32),
+                n_iters, lrs, weights)
         statics = dict(settings=self.settings, mode=mode,
-                       max_weight=max_weight, Vc=Vc, Ktc=Ktc)
-        self._maybe_prewarm_execute(args, statics, Vc, Ktc, nv, cm, V, Kt)
+                       max_weight=max_weight, Ac=Ac, Ktc=Ktc)
+        self._maybe_prewarm_execute(args, statics, Ac, Ktc, n_pool, cm,
+                                    self.config.capacity, Kt)
         self.state, report = optimize.optimize_execute_donated(
             *args, **statics)
         return report
+
+    def _prewarm_prepare(self, args, statics, next_L) -> None:
+        """Background-compile the next row_limit bucket's prepare executable
+        before the high-water mark crosses it."""
+        key = ("prep", next_L, statics["mode"])
+        if key in self._warmed_buckets:
+            return
+        self._warmed_buckets.add(key)
+        specs = [self._aval_spec(a) for a in args]
+        st = dict(statics, row_limit=next_L)
+
+        def warm(specs=specs, st=st):
+            try:
+                optimize.optimize_prepare.lower(*specs, **st).compile()
+            except Exception:       # pragma: no cover - warmup best-effort
+                pass
+
+        threading.Thread(target=warm, daemon=True,
+                         name=f"prewarm-prep-{next_L}").start()
 
     def local_optimize(self, frame: Camera, opt):
         """Whole local pass (masks + loop + history merge) = 1 dispatch."""

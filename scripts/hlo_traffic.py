@@ -93,6 +93,10 @@ def main():
         from rtgslam_tpu.models.map_ops import frame_chain as fn
     elif target == "optimize_chain":
         from rtgslam_tpu.models.optimize import optimize_chain as fn
+    elif target == "optimize_prepare":
+        from rtgslam_tpu.models.optimize import optimize_prepare as fn
+    elif target == "optimize_execute":
+        from rtgslam_tpu.models.optimize import optimize_execute as fn
     else:
         from rtgslam_tpu.slam.tracker import fused_icp_track_step as fn
     print(f"[hlo_traffic] compiling {target} for "

@@ -106,6 +106,12 @@ def install_capture(specs, reals=None, abort_keys=()):
 
     wrap(map_ops, "frame_chain_donated", "frame_chain")
     wrap(optmod, "optimize_chain_donated", "optimize_chain")
+    # compact two-stage path (the production default, optimize_compact):
+    # prepare executes for real (the mapper needs its occupancy scalars to
+    # pick the execute buckets); execute's static bucket kwargs ride the
+    # captured kwargs dict
+    wrap(optmod, "optimize_prepare", "optimize_prepare")
+    wrap(optmod, "optimize_execute_donated", "optimize_execute")
     wrap(trmod, "fused_icp_track_step", "icp_track")
     return originals
 
@@ -214,6 +220,61 @@ def probe_opt_iter(state_spec, frame_specs, lrs, weights, settings):
                  lrs, weights, settings=settings)
 
 
+def probe_opt_iter_compact(execute_args, execute_kwargs):
+    """One POOL-COMPACT optimize iteration (the body optimize_execute's
+    fori_loop runs n_iters times): render_compact fwd+bwd + compact masked
+    Adam at the captured (Ac, Ktc) buckets."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from rtgslam_tpu.models import optimize as O
+
+    (state, colors, depths, normals, w2cs, Ks, camposes,
+     rmasks, lists_orig, counts, pool_rows, n_pool,
+     seq, n_iters, lrs, weights) = execute_args
+    settings = execute_kwargs["settings"]
+    Ac, Ktc = execute_kwargs["Ac"], execute_kwargs["Ktc"]
+    T = lists_orig.shape[1]
+    H, W = settings.height, settings.width
+    sd = jax.ShapeDtypeStruct
+    params_c = {k: sd((Ac,) + v.shape[1:], v.dtype)
+                for k, v in state.params().items()}
+
+    @partial(jax.jit, static_argnames=("settings",))
+    def f(params_c, hist_c, color, depth, normal, w2c, K, campos, rmask,
+          lists_c, counts_c, lrs, weights, settings):
+        hyper = dict(weights)
+        hyper.update(hist_c)
+        aux = {"update_mask": jnp.ones((Ac,), bool),
+               "row_valid": jnp.ones((Ac,), bool)}
+        frame = {"color": color, "depth": depth, "normal": normal,
+                 "w2c": w2c, "K": K, "campos": campos,
+                 "render_mask": rmask,
+                 "tile_lists_c": lists_c, "tile_counts_c": counts_c}
+        (_, report), grads = jax.value_and_grad(
+            O._loss_fn_compact, has_aux=True)(
+            params_c, aux, frame, settings, hyper)
+        zeros = {k: jnp.zeros_like(v) for k, v in params_c.items()}
+        new_params, m, v = O._adam_step(
+            params_c, grads, zeros, dict(zeros), jnp.int32(0), lrs,
+            aux["update_mask"])
+        return new_params, report
+
+    hist_c = {"hist_opacity": params_c["opacity"],
+              "hist_scaling": params_c["scaling"],
+              "hist_xyz": params_c["xyz"],
+              "hist_rotation_raw": params_c["rotation"]}
+    return _cost(
+        f, params_c, hist_c,
+        sd((H, W, 3), jnp.float32), sd((H, W), jnp.float32),
+        sd((H, W, 3), jnp.float32), sd((4, 4), jnp.float32),
+        sd((3, 3), jnp.float32), sd((3,), jnp.float32),
+        sd((H, W), jnp.bool_),
+        sd((T, Ktc), jnp.int32), sd((T,), jnp.int32),
+        lrs, weights, settings=settings)
+
+
 def probe_icp_iter(level_shape, association, damping,
                    distance_threshold, normal_threshold):
     """One Gauss-Newton iteration at one pyramid level — the body each
@@ -242,7 +303,7 @@ def probe_icp_iter(level_shape, association, damping,
 # stage accounting: aggregate cost + trip-count corrections
 # ---------------------------------------------------------------------------
 
-def stage_costs(specs, icp_fn, memory_length, n_iters):
+def stage_costs(specs, icp_fn, memory_length, n_iters, originals=None):
     """Corrected (flops, bytes) per stage + the audit trail of corrections.
 
     XLA cost analysis counts each while/scan body ONCE (verified: scan of a
@@ -303,7 +364,36 @@ def stage_costs(specs, icp_fn, memory_length, n_iters):
         "mem": agg,
     }
 
-    # --- optimize_chain ---------------------------------------------------
+    # --- optimize: compact two-stage path (production default) ------------
+    if "optimize_execute" in specs:
+        # install_capture shadows the optimize_prepare module attr itself —
+        # cost the jitted original
+        prepare_fn = (originals or {}).get(
+            "optimize_prepare", optimize.optimize_prepare)
+        a, k = specs["optimize_prepare"]
+        agg_p = _cost(prepare_fn, *a, **k)
+        out["optimize_prepare"] = {
+            "flops": agg_p["flops"], "bytes": agg_p["bytes"], "agg": agg_p,
+            "correction": "none (vmapped mask renders + binning, "
+                          "single-trip while bodies at measured occupancy)",
+            "mem": agg_p,
+        }
+        a, k = specs["optimize_execute"]
+        it = probe_opt_iter_compact(a, k)
+        agg_e = _cost(optimize.optimize_execute, *a, **k)
+        flops = agg_e["flops"] + (n_iters - 1) * it["flops"]
+        bytes_ = agg_e["bytes"] + (n_iters - 1) * it["bytes"]
+        out["optimize_execute"] = {
+            "flops": flops, "bytes": bytes_, "agg": agg_e,
+            "iter_probe": it,
+            "correction": f"+{n_iters - 1} x compact fwd/bwd iter at "
+                          f"Ac={k['Ac']} Ktc={k['Ktc']} (agg counts the "
+                          "fori body once; history merge ignored)",
+            "mem": agg_e,
+        }
+        return out
+
+    # --- optimize_chain (plain / freeze_binning path) ---------------------
     a, k = specs["optimize_chain"]
     (state, colors, depths, normals, w2cs, Ks, camposes,
      seq, n_it, lrs, weights, settings) = a
@@ -429,9 +519,15 @@ def capture_fullres_main():
     jax.config.update("jax_platforms", "cpu")
     specs = {}
     H, W = FULLRES
+    # the compact path's prepare stage EXECUTES (the mapper needs its
+    # occupancy scalars to pick the execute buckets); everything heavier
+    # aborts after spec capture
     run_pipeline(H, W, 2, specs,
-                 abort_keys=("optimize_chain", "frame_chain"))
-    missing = {"icp_track", "frame_chain", "optimize_chain"} - set(specs)
+                 abort_keys=("optimize_chain", "optimize_execute",
+                             "frame_chain"))
+    missing = {"icp_track", "frame_chain"} - set(specs)
+    if not ({"optimize_chain", "optimize_execute"} & set(specs)):
+        missing.add("optimize_chain|optimize_execute")
     if missing:
         raise RuntimeError(f"fullres capture missed {missing}")
 
@@ -443,12 +539,26 @@ def capture_fullres_main():
     a[-2] = 131072              # ref_limit: measured-occupancy class bucket
     a[-3] = True                # has_stable
     specs["frame_chain"] = (tuple(a), k)
+    if "optimize_execute" in specs:
+        # two-frame capture yields first-frames buckets; a steady-state
+        # Replica map optimizes a far larger live set — compile at the
+        # occupancy-model class (~131k live of the 524k-slot map,
+        # dense-tile class 512)
+        a, k = specs["optimize_execute"]
+        k = dict(k)
+        import jax as _jax
+        a = list(a)
+        Ac = 131072
+        a[10] = _jax.ShapeDtypeStruct((Ac,), a[10].dtype)  # pool_rows [Ac]
+        k["Ac"] = Ac
+        k["Ktc"] = min(512, a[8].shape[-1])      # lists_orig [F, T, Kt]
+        specs["optimize_execute"] = (tuple(a), k)
     with open(SPEC_PICKLE, "wb") as f:
         pickle.dump(specs, f)
     print(f"[capture] wrote {SPEC_PICKLE}")
 
 
-def fullres_compile_proof(specs, icp_fn):
+def fullres_compile_proof(specs, icp_fn, originals=None):
     """Lower + compile the three executables for the TPU target at 680x1200;
     returns cost/memory rows (compile is host-side — no device execution)."""
     rows, mem = [], {}
@@ -456,7 +566,8 @@ def fullres_compile_proof(specs, icp_fn):
 
     args, _ = make_args(*FULLRES, env_overrides=False)
     costs = stage_costs(specs, icp_fn, memory_length=args.memory_length,
-                        n_iters=args.gaussian_update_iter)
+                        n_iters=args.gaussian_update_iter,
+                        originals=originals)
     for name, c in costs.items():
         rows.append(analyze(name, c["flops"], c["bytes"]))
         mem[name] = {k: round(v, 1) for k, v in c["mem"].items()
@@ -500,13 +611,16 @@ def main():
 
     costs = stage_costs(specs, originals["icp_track"],
                         memory_length=bench_args.memory_length,
-                        n_iters=bench_args.gaussian_update_iter)
+                        n_iters=bench_args.gaussian_update_iter,
+                        originals=originals)
 
     from rtgslam_tpu.models import map_ops, optimize
 
     fns = {"icp_track": originals["icp_track"],
            "frame_chain": map_ops.frame_chain,
-           "optimize_chain": optimize.optimize_chain}
+           "optimize_chain": optimize.optimize_chain,
+           "optimize_prepare": originals["optimize_prepare"],
+           "optimize_execute": optimize.optimize_execute}
 
     floor_ms = None
     rows = []
@@ -516,22 +630,32 @@ def main():
             if floor_ms is None:
                 floor_ms = dispatch_floor()
             a, k = reals[name]
-            reps = 3 if name == "optimize_chain" else args.reps
+            reps = (3 if name in ("optimize_chain", "optimize_execute")
+                    else args.reps)
             measured, trace = measure(fns[name], a, k, reps)
             print(f"[measure] {name}: median {measured:.1f} ms "
                   f"(reps {trace})")
         rows.append(analyze(name, c["flops"], c["bytes"], measured))
 
     # per-frame amortized model at the Replica operating point
+    opt_keys = (["optimize_prepare", "optimize_execute"]
+                if "optimize_execute" in costs else ["optimize_chain"])
     per_frame = {}
     for key in ("flops", "bytes"):
         per_frame[key] = (costs["icp_track"][key] + costs["frame_chain"][key]
-                          + costs["optimize_chain"][key]
+                          + sum(costs[o][key] for o in opt_keys)
                           / bench_args.gaussian_update_frame)
     frame_row = analyze("per_frame_amortized", per_frame["flops"],
                         per_frame["bytes"])
     sol_fps = 1e3 / frame_row["sol_ms_v5e"]
     rows.append(frame_row)
+
+    probes = {}
+    if "optimize_execute" in costs:
+        probes["optimize_iter_compact"] = costs["optimize_execute"]["iter_probe"]
+    else:
+        probes["render_inference"] = costs["optimize_chain"]["render_probe"]
+        probes["optimize_iter_fwd_bwd_adam"] = costs["optimize_chain"]["iter_probe"]
 
     result = {
         "resolution": [H, W],
@@ -540,10 +664,7 @@ def main():
         "dispatch_floor_ms": floor_ms,
         "stages": rows,
         "corrections": {k: v["correction"] for k, v in costs.items()},
-        "probes": {
-            "render_inference": costs["optimize_chain"]["render_probe"],
-            "optimize_iter_fwd_bwd_adam": costs["optimize_chain"]["iter_probe"],
-        },
+        "probes": probes,
         "speed_of_light_fps_v5e": round(sol_fps, 1),
     }
 
@@ -561,11 +682,13 @@ def main():
         print("[roofline] compiling 680x1200 executables for the TPU "
               "target (host-side)...")
         frows, fmem, fcosts = fullres_compile_proof(
-            fspecs, originals["icp_track"])
+            fspecs, originals["icp_track"], originals=originals)
+        fopt = (["optimize_prepare", "optimize_execute"]
+                if "optimize_execute" in fcosts else ["optimize_chain"])
         fr = {k: None for k in ("flops", "bytes")}
         for key in fr:
             fr[key] = (fcosts["icp_track"][key] + fcosts["frame_chain"][key]
-                       + fcosts["optimize_chain"][key] / 6)
+                       + sum(fcosts[o][key] for o in fopt) / 6)
         ffr = analyze("per_frame_amortized", fr["flops"], fr["bytes"])
         frows.append(ffr)
         print_table(frows, "Roofline @ 680x1200 Replica-native "

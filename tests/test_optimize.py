@@ -145,8 +145,8 @@ def test_compact_matches_freeze():
         lrs, weights, settings, mode="local", sample_ratio=-1.0,
         mask_depth_positive=False, max_weight=0.5, freeze_binning=True)
 
-    (rmasks, tiles, orders, lists, counts, nvis,
-     nvis_max, cnt_max) = optimize.optimize_prepare(
+    (rmasks, tiles, lists_orig, counts, pool_order,
+     n_pool, cnt_max) = optimize.optimize_prepare(
         state, frames.color, frames.depth, frames.normal,
         frames.w2c, frames.K, frames.campos, settings=settings,
         mode="local", sample_ratio=-1.0, mask_depth_positive=False)
@@ -158,17 +158,17 @@ def test_compact_matches_freeze():
         return min(b, cap)
 
     # deliberately SMALLER than the full shapes so the crops are exercised
-    Vc = bucket(int(nvis_max), 64, orders.shape[-1])
-    Ktc = bucket(int(cnt_max), 64, lists.shape[-1])
-    assert Vc < orders.shape[-1] or Ktc < lists.shape[-1], \
+    Ac = bucket(int(n_pool), 64, pool_order.shape[0])
+    Ktc = bucket(int(cnt_max), 64, lists_orig.shape[-1])
+    assert Ac < pool_order.shape[0] or Ktc < lists_orig.shape[-1], \
         "tiny problem should exercise at least one real crop"
 
     out_state, out_report = optimize.optimize_execute(
         state, frames.color, frames.depth, frames.normal,
         frames.w2c, frames.K, frames.campos,
-        rmasks, tiles, orders, lists, counts, nvis,
+        rmasks, lists_orig, counts, pool_order[:Ac], n_pool,
         seq, n_iters, lrs, weights, settings,
-        mode="local", max_weight=0.5, Vc=Vc, Ktc=Ktc)
+        mode="local", max_weight=0.5, Ac=Ac, Ktc=Ktc)
 
     np.testing.assert_allclose(np.asarray(out_state.xyz),
                                np.asarray(ref_state.xyz),
