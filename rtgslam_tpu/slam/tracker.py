@@ -297,7 +297,8 @@ class Tracker:
                 guess = self.pose_es[-1] @ np.asarray(pose_t1_t0)
                 reloc = self.loop_closer.relocalize(
                     self.curr_frame["frame_id"], guess,
-                    frame_map["depth_map"], self.K)
+                    frame_map["depth_map"], self.K,
+                    color_map=frame_map.get("color_map"))
                 if reloc is not None:
                     pose_t1_t0 = np.linalg.inv(self.pose_es[-1]) @ reloc
                     self.icp.reset_prior(pose_t1_t0)
@@ -315,7 +316,8 @@ class Tracker:
         if self.loop_closer is not None and not self.use_gt_pose:
             loop = self.loop_closer.observe(
                 self.curr_frame["frame_id"], pose_t1_w,
-                frame_map["depth_map"], self.K)
+                frame_map["depth_map"], self.K,
+                color_map=frame_map.get("color_map"))
             if loop is not None:
                 i, j, T_ij = loop
                 self.orb_backend.add_loop_constraint(i, j, T_ij)
@@ -398,7 +400,8 @@ class Tracker:
                 reloc = self.loop_closer.relocalize(
                     self.curr_frame["frame_id"],
                     np.asarray(pose_t1_w, np.float64),
-                    fm["depth_map"], self.K)
+                    fm["depth_map"], self.K,
+                    color_map=fm.get("color_map"))
                 if reloc is not None:
                     pose_t1_w = np.asarray(reloc, np.float32)
                     rel = np.linalg.inv(self._prev_c2w) @ pose_t1_w
@@ -417,7 +420,8 @@ class Tracker:
         if self.loop_closer is not None and not self.use_gt_pose:
             loop = self.loop_closer.observe(
                 self.curr_frame["frame_id"], np.asarray(pose_t1_w, np.float64),
-                fm["depth_map"], self.K)
+                fm["depth_map"], self.K,
+                color_map=fm.get("color_map"))
             if loop is not None:
                 from .pose_backend import relax_pose_graph
 

@@ -272,6 +272,55 @@ def test_fused_pure_icp_loop_closure_drops_ate(base_args):
     assert ate_closed < 0.7 * ate_open, (ate_open, ate_closed)
 
 
+def test_appearance_closure_beats_pose_gate(base_args):
+    """Place recognition (VERDICT r3 #3): inject drift LARGER than the
+    0.4 m pose-gate radius on a revisiting trajectory.  The proximity
+    detector can then never fire (the regime loop closure exists for);
+    the appearance detector (global thumbnail descriptor, the DBoW2 role)
+    must still find the revisit, verify it from the drift-independent
+    identity seed, and drop the ATE.  Reference: DBoW2 place recognition
+    inside ORB-SLAM2 (SLAM/multiprocess/tracker.py:236-244)."""
+    import rtgslam_tpu.slam.tracker as trmod
+    from rtgslam_tpu.data.synthetic import make_cameras
+    from rtgslam_tpu.slam import Tracker
+
+    cams = _loop_sequence(make_cameras(n_frames=10, H=96, W=128))
+    # |bias| ~= 0.036 m/frame -> ~0.5 m accumulated at the first eligible
+    # revisit (frame 16 vs record 2), beyond the 0.4 m candidate radius
+    bias = [0.03, 0, 0.02]
+
+    def run(appearance_sim):
+        args = copy.deepcopy(base_args)
+        args.use_gt_pose = False
+        args.use_orb_backend = False
+        args.icp_use_model_depth = False
+        args.loop_closure_pure_icp = True
+        args.loop_check_every = 1
+        args.loop_min_gap = 14
+        args.loop_cooldown = 50
+        args.loop_candidate_radius = 0.4
+        args.loop_appearance_sim = appearance_sim
+        tracker = Tracker(args)
+        wrapper, orig = _drifting_fused_step(bias)
+        trmod.fused_icp_track_step = wrapper
+        try:
+            for i, cam in enumerate(cams):
+                fm = tracker.map_preprocess(cam, i)
+                tracker.tracking(cam, fm)
+        finally:
+            trmod.fused_icp_track_step = orig
+        return tracker
+
+    t_pose_only = run(appearance_sim=0.0)   # appearance detector disabled
+    t_appear = run(appearance_sim=0.92)
+    # the drift exceeds the proximity radius: pose gating alone finds nothing
+    assert t_pose_only.status.get("loops_closed", 0) == 0
+    assert t_appear.status.get("loops_closed", 0) >= 1
+    ate_open = t_pose_only.eval_ate()
+    ate_closed = t_appear.eval_ate()
+    assert ate_closed < 0.7 * ate_open, (ate_open, ate_closed)
+
+
 def test_fused_pure_icp_relocalization(base_args):
     """A hard ICP failure on the fused path relocalizes against stored
     keyframe depths instead of coasting (staged-path twin:
