@@ -820,16 +820,32 @@ class Mapper:
     # ------------------------------------------------------------------
     # checkpoints
     # ------------------------------------------------------------------
-    def save_model(self, path=None, save_data=True, save_sibr=True, save_merge=True):
-        """PLY snapshots in the reference layout (mapper.py:933-966)."""
+    def snapshot_host(self):
+        """Host copy of both pools' PLY rows + the (time, iter) stamp.
+
+        Taken on the mapping thread — the donated chains invalidate the live
+        device buffers on the NEXT mapping step, so the copy cannot be
+        deferred — and handed to the system drainer thread which writes the
+        PLY trail without blocking mapping (the reference system process
+        drains save-model requests the same way,
+        multiprocess/system.py:57-87,108-146)."""
+        return {"unstable": to_numpy_dict(self.state, UNSTABLE),
+                "stable": to_numpy_dict(self.state, STABLE),
+                "time": self.time, "iter": self.iter}
+
+    def save_snapshot(self, snap, path=None, save_data=True, save_sibr=True,
+                      save_merge=True):
+        """Write one host snapshot as PLYs in the reference layout
+        (``save_model/frame_*/iter_*[.ply|_stable.ply|_sibr.ply|_merge.ply]``,
+        reference mapper.py:933-966)."""
         if path is None:
-            frame_name = f"frame_{self.time:04d}"
+            frame_name = f"frame_{snap['time']:04d}"
             model_dir = os.path.join(self.save_path, "save_model", frame_name)
             os.makedirs(model_dir, exist_ok=True)
-            path = os.path.join(model_dir, f"iter_{self.iter:04d}")
+            path = os.path.join(model_dir, f"iter_{snap['iter']:04d}")
 
-        def dump(which, suffix, confidence):
-            data = to_numpy_dict(self.state, which)
+        def dump(pool, suffix, confidence):
+            data = snap[pool]
             if data["xyz"].shape[0] == 0:
                 return False
             ply_utils.save_gaussian_ply(
@@ -841,14 +857,20 @@ class Mapper:
 
         has_u = has_s = False
         if save_data:
-            has_u = dump(UNSTABLE, ".ply", True)
-            has_s = dump(STABLE, "_stable.ply", True)
+            has_u = dump("unstable", ".ply", True)
+            has_s = dump("stable", "_stable.ply", True)
         if save_sibr:
-            dump(UNSTABLE, "_sibr.ply", False)
-            dump(STABLE, "_stable_sibr.ply", False)
+            dump("unstable", "_sibr.ply", False)
+            dump("stable", "_stable_sibr.ply", False)
         if has_u and has_s and save_merge:
             ply_utils.merge_gaussian_ply(
                 path + ".ply", path + "_stable.ply", path + "_merge.ply")
+
+    def save_model(self, path=None, save_data=True, save_sibr=True, save_merge=True):
+        """PLY snapshots in the reference layout (mapper.py:933-966)."""
+        self.save_snapshot(self.snapshot_host(), path=path,
+                           save_data=save_data, save_sibr=save_sibr,
+                           save_merge=save_merge)
 
     def load_model(self, ply_path: str):
         """Load a checkpoint into the stable pool (metric.py:154 contract)."""

@@ -25,6 +25,7 @@ on a real slice).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -56,6 +57,10 @@ class SLAM:
 
         self._t2m: queue.Queue = queue.Queue()
         self._m2t: queue.Queue = queue.Queue()
+        # mapper -> saver: host SoA snapshots drained to PLY mid-run (the
+        # reference system process's save-model queue,
+        # multiprocess/system.py:57-87)
+        self._save_q: queue.Queue = queue.Queue()
         self._mapper_caught_up = threading.Condition()
         self._last_mapped_frame = -1
         self._errors: list = []
@@ -152,6 +157,27 @@ class SLAM:
                 self.mapper.update_poses(new_poses)
                 self.mapper.mapping(frame, frame_map, frame_id,
                                     self.optimization_params)
+                # mid-run checkpoint + eval, same cadence as the
+                # single-process loop (slam.py; reference system process
+                # saves every save step during the run,
+                # multiprocess/system.py:108-146).  The host snapshot is
+                # taken HERE (the next donated chain invalidates the
+                # buffers); the PLY writing drains on the saver thread; the
+                # eval render also runs here — it reads the live state and
+                # must not race the donated mapping chains.
+                if (self.mapper.time + 1) % self.mapper.save_step == 0 \
+                        or self.mapper.time == 0:
+                    self._save_q.put(self.mapper.snapshot_host())
+                    from .eval import eval_frame
+
+                    metrics = eval_frame(
+                        self.mapper, frame,
+                        os.path.join(self.args.save_path, "eval_render"),
+                        min_depth=self.args.min_depth,
+                        max_depth=self.args.max_depth, save_picture=True)
+                    print(f"[EVAL] frame {frame_id}: "
+                          f"psnr {metrics['psnr']:.2f} "
+                          f"depthL1 {metrics['depth_l1_cm']:.2f}cm")
                 self.mapper.time += 1
                 self.recorder.update_mean("mapping", time.time() - start, 1)
                 # publish a detached map snapshot (device arrays are shared
@@ -180,6 +206,19 @@ class SLAM:
                 self._last_mapped_frame = 10 ** 9
                 self._mapper_caught_up.notify_all()
 
+    def _saver_loop(self):
+        """Drain mid-run snapshots to the reference PLY layout — the system
+        process role in the reference (multiprocess/system.py:57-87): file
+        I/O never blocks the mapping loop."""
+        try:
+            while True:
+                snap = self._save_q.get()
+                if snap is None:
+                    break
+                self.mapper.save_snapshot(snap)
+        except Exception as e:  # pragma: no cover - surfaced in run()
+            self._errors.append(e)
+
     # ------------------------------------------------------------------
     def run(self):
         if self.two_device:
@@ -189,10 +228,14 @@ class SLAM:
                                                self.mapper_device)
         mapper_thread = threading.Thread(target=self._mapping_loop, name="mapper")
         tracker_thread = threading.Thread(target=self._tracking_loop, name="tracker")
+        saver_thread = threading.Thread(target=self._saver_loop, name="saver")
+        saver_thread.start()
         mapper_thread.start()
         tracker_thread.start()
         tracker_thread.join()
         mapper_thread.join()
+        self._save_q.put(None)      # drain remaining snapshots, then stop
+        saver_thread.join()
         if self._errors:
             raise self._errors[0]
 

@@ -42,6 +42,7 @@ def test_pipelined_system(tmp_path, base_args, sync):
     args.sync_tracker2mapper_frames = 2
     args.tracker_max_fps = 1000
     args.final_global_iter = 2
+    args.save_step = 2            # exercise the mid-run save/eval drain
     opt = OptimizationParams().extract(args)
 
     from rtgslam_tpu.data import Dataset
@@ -55,6 +56,22 @@ def test_pipelined_system(tmp_path, base_args, sync):
     assert np.isfinite(ate) and ate < 2.0
     assert os.path.exists(os.path.join(args.save_path, "save_traj", "pose_es.npy"))
     assert slam.mapper.get_stable_num + slam.mapper.get_unstable_num > 100
+    # mid-run checkpoint trail (reference system process drains save-model
+    # requests during the run, multiprocess/system.py:57-87,108-146): with
+    # save_step=2 over 5 frames the saver thread must leave PLYs for the
+    # mid-run frames, not just the final save
+    model_root = os.path.join(args.save_path, "save_model")
+    frame_dirs = sorted(d for d in os.listdir(model_root)
+                        if d.startswith("frame_"))
+    assert len(frame_dirs) >= 3, frame_dirs
+    for d in frame_dirs:
+        plys = [f for f in os.listdir(os.path.join(model_root, d))
+                if f.startswith("iter_") and f.endswith(".ply")]
+        assert plys, d
+    # per-save-step eval JSONs (beyond the reference, VERDICT r3 #4)
+    evals = [f for f in os.listdir(os.path.join(args.save_path, "eval_render"))
+             if f.endswith(".json")]
+    assert len(evals) >= 2, evals
 
 
 def test_pipelined_system_two_devices(tmp_path, base_args):
