@@ -364,5 +364,18 @@ def dryrun_multichip(n_devices: int) -> None:
         frames.K, frames.campos, 2, lrs, weights, settings, mesh)
     jax.block_until_ready(loc_state.xyz)
     assert np.isfinite(float(loc_loss)), "dp_local_optimize non-finite loss"
+
+    # keyframe GLOBAL optimization on the mesh (per-device mask renders over
+    # the stable pool): flip half the live rows STABLE so it has a pool
+    from ..models.gaussian_map import STABLE
+
+    g_state = state.replace(status=state.status.at[:32].set(STABLE))
+    glob_state, glob_loss = dp_global_optimize(
+        g_state, frames.color, frames.depth, frames.normal, frames.w2c,
+        frames.K, frames.campos, 2, lrs, weights, settings, mesh,
+        sample_ratio=0.4)
+    jax.block_until_ready(glob_state.xyz)
+    assert np.isfinite(float(glob_loss)), "dp_global_optimize non-finite loss"
     print(f"[dryrun_multichip] mesh={mesh.shape} loss={float(loss):.4f} "
-          f"max|dxyz|={delta:.2e} local_loss={float(loc_loss):.4f} OK")
+          f"max|dxyz|={delta:.2e} local_loss={float(loc_loss):.4f} "
+          f"global_loss={float(glob_loss):.4f} OK")
