@@ -25,107 +25,138 @@ from ..utils.geometry import exp_se3
 from . import preprocess
 
 
-def warp_nearest(feat: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Sample [H,W,C] at real-valued pixel coords with nearest + border clamp."""
-    H, W = feat.shape[:2]
+# ---------------------------------------------------------------------------
+# planar (structure-of-planes) Gauss-Newton iteration
+#
+# TPU layout rationale (PERF.md round-3 table): any tensor whose trailing
+# axis is 3 or 6 is lane-padded to 128 on materialization, so the original
+# [H,W,3] formulation moved ~20-40x its logical bytes at every fusion
+# boundary (8 per-corner gathers + the [HW,6] Jacobian per GN iteration).
+# The rework: (a) the warped TARGET maps are packed ONCE per level into
+# [HW, 8] rows (x,y,z,nx,ny,nz,0,0) so each bilinear corner is ONE row
+# gather (row gathers vectorize across lanes; per-plane gathers would move
+# one element per cycle); (b) all transform/projection/residual/Jacobian
+# math runs on flat [N] planes (perfect lane utilization); (c) the damped
+# normal equations come from ONE [7,N]x[N,7] MXU matmul (rows = 6 Jacobian
+# planes + the residual), replacing the padded [HW,6] materializations.
+# ---------------------------------------------------------------------------
+
+_PACK = 8  # packed target row width (6 used + 2 sublane-friendly pad)
+
+
+def pack_target(vertex: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
+    """[H,W,3] vertex + normal -> [H*W, 8] packed rows for row-gather warps."""
+    N = vertex.shape[0] * vertex.shape[1]
+    return jnp.concatenate(
+        [vertex.reshape(N, 3), normal.reshape(N, 3),
+         jnp.zeros((N, 2), vertex.dtype)], axis=1)
+
+
+def _warp_packed(packed: jnp.ndarray, H: int, W: int,
+                 u: jnp.ndarray, v: jnp.ndarray, association: str):
+    """Sample the packed [HW, 8] target at real-valued pixel coords.
+
+    Bilinear association (sub-pixel; divergence from the reference's nearest
+    sampling, icp.py:132-148, whose ±0.5 px rounding puts a several-mm noise
+    floor into the point-to-plane cost) with border clamp; any sample whose
+    vertex (resp. normal) touches an invalid corner falls back to nearest
+    for that part.  Returns six [N] planes (rx, ry, rz, rnx, rny, rnz)."""
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
-    return feat[vi, ui]
+    near = jnp.take(packed, vi * W + ui, axis=0)       # [N, 8]
+    if association != "bilinear":
+        return tuple(near[:, c] for c in range(6))
 
-
-def warp_bilinear(feat: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sampling with border clamp.
-
-    Sub-pixel data association: the reference associates with nearest
-    sampling (icp.py:132-148), whose +-0.5 px rounding puts a flat
-    several-mm noise floor into the point-to-plane cost on oblique surfaces;
-    bilinear association removes that floor, cutting drift substantially.
-    Zero-depth (invalid) neighbours would corrupt interpolation, so any
-    sample touching an invalid pixel falls back to nearest.
-    """
-    H, W = feat.shape[:2]
     u = jnp.clip(u, 0.0, W - 1.0)
     v = jnp.clip(v, 0.0, H - 1.0)
     u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
     v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
-    du = (u - u0)[..., None]
-    dv = (v - v0)[..., None]
-    f00 = feat[v0, u0]
-    f01 = feat[v0, u0 + 1]
-    f10 = feat[v0 + 1, u0]
-    f11 = feat[v0 + 1, u0 + 1]
-    interp = ((1 - dv) * ((1 - du) * f00 + du * f01)
-              + dv * ((1 - du) * f10 + du * f11))
-    corners_valid = ((f00[..., 2] != 0) & (f01[..., 2] != 0)
-                     & (f10[..., 2] != 0) & (f11[..., 2] != 0))
-    nearest = warp_nearest(feat, u, v)
-    return jnp.where(corners_valid[..., None], interp, nearest)
+    du = u - u0
+    dv = v - v0
+    lin = v0 * W + u0
+    f00 = jnp.take(packed, lin, axis=0)
+    f01 = jnp.take(packed, lin + 1, axis=0)
+    f10 = jnp.take(packed, lin + W, axis=0)
+    f11 = jnp.take(packed, lin + W + 1, axis=0)
+    w00 = (1 - dv) * (1 - du)
+    w01 = (1 - dv) * du
+    w10 = dv * (1 - du)
+    w11 = dv * du
+
+    def lerp(c):
+        return (w00 * f00[:, c] + w01 * f01[:, c]
+                + w10 * f10[:, c] + w11 * f11[:, c])
+
+    # per-part corner validity (vertex: z channel; normal: nz channel),
+    # matching the original per-map warp_bilinear fallbacks exactly
+    vert_ok = ((f00[:, 2] != 0) & (f01[:, 2] != 0)
+               & (f10[:, 2] != 0) & (f11[:, 2] != 0))
+    norm_ok = ((f00[:, 5] != 0) & (f01[:, 5] != 0)
+               & (f10[:, 5] != 0) & (f11[:, 5] != 0))
+    rx, ry, rz = (jnp.where(vert_ok, lerp(c), near[:, c]) for c in (0, 1, 2))
+    nx, ny, nz = (jnp.where(norm_ok, lerp(c), near[:, c]) for c in (3, 4, 5))
+    # renormalize the interpolated normal (bilinear shortens it)
+    inv = 1.0 / (jnp.sqrt(nx * nx + ny * ny + nz * nz) + 1e-8)
+    return rx, ry, rz, nx * inv, ny * inv, nz * inv
 
 
-def residuals_jacobian(vertex0, vertex1, normal0, normal1, pose10, K,
-                       distance_threshold, normal_threshold,
-                       association: str = "bilinear"):
-    """Point-to-plane residuals + analytic Jacobians (icp.py:51-104).
+def gn_iteration(pose10, src_planes, tgt_packed, H: int, W: int, K,
+                 damping, distance_threshold, normal_threshold,
+                 association: str, huber_delta: float = 0.02):
+    """One damped Gauss-Newton step of projective point-to-plane ICP
+    (reference icp.py:51-129 semantics; planar TPU formulation, see module
+    banner).  ``src_planes`` = (x, y, z, nx, ny, nz) flat [N] planes of the
+    source maps; ``tgt_packed`` = pack_target of the warped target maps.
 
-    vertex0/normal0: source maps warped by pose10 into the target (1) frame;
-    vertex1/normal1: target maps sampled at the projected locations.
-    Returns res [H,W], J [H,W,6], valid [H,W].
-    """
+    Residuals are Huber-weighted (w = min(1, δ/|r|), δ = 2 cm): point-to-
+    plane residuals at association/occlusion boundaries are heavy-tailed,
+    and an unweighted solve occasionally snaps into a wrong minimum (the
+    reference's plain GN, icp.py:106-129, has the same failure mode)."""
+    x0, y0, z0, nx0, ny0, nz0 = src_planes
     R, t = pose10[:3, :3], pose10[:3, 3]
-    H, W = vertex0.shape[:2]
-    mask0 = vertex0[..., 2] > 0.0
+    mask0 = z0 > 0.0
 
-    v0_in_1 = vertex0 @ R.T + t
-    n0_in_1 = normal0 @ R.T
+    # transform source points/normals into the target frame (flat FMAs)
+    x = R[0, 0] * x0 + R[0, 1] * y0 + R[0, 2] * z0 + t[0]
+    y = R[1, 0] * x0 + R[1, 1] * y0 + R[1, 2] * z0 + t[1]
+    z = R[2, 0] * x0 + R[2, 1] * y0 + R[2, 2] * z0 + t[2]
+    nx = R[0, 0] * nx0 + R[0, 1] * ny0 + R[0, 2] * nz0
+    ny = R[1, 0] * nx0 + R[1, 1] * ny0 + R[1, 2] * nz0
+    nz = R[2, 0] * nx0 + R[2, 1] * ny0 + R[2, 2] * nz0
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    x, y, z = v0_in_1[..., 0], v0_in_1[..., 1], v0_in_1[..., 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     u = (x / z_safe) * fx + cx
     v = (y / z_safe) * fy + cy
     inview = (u > 0) & (u < W - 1) & (v > 0) & (v < H - 1) & (z > 0)
 
-    warp = warp_bilinear if association == "bilinear" else warp_nearest
-    r_vertex1 = warp(vertex1, u, v)
-    r_normal1 = warp(normal1, u, v)
-    if association == "bilinear":
-        r_normal1 = r_normal1 / (jnp.linalg.norm(r_normal1, axis=-1, keepdims=True) + 1e-8)
-    mask1 = r_vertex1[..., 2] > 0.0
-    diff = v0_in_1 - r_vertex1
+    rx, ry, rz, rnx, rny, rnz = _warp_packed(tgt_packed, H, W, u, v,
+                                             association)
+    mask1 = rz > 0.0
+    dx, dy, dz = x - rx, y - ry, z - rz
+    normal_agree = (nx * rnx + ny * rny + nz * rnz) > normal_threshold
+    res = rnx * dx + rny * dy + rnz * dz
+    far = (dx * dx + dy * dy + dz * dz) > distance_threshold ** 2
+    valid = (inview & ~far & mask0 & mask1 & normal_agree).astype(res.dtype)
 
-    normal_agree = jnp.sum(n0_in_1 * r_normal1, axis=-1) > normal_threshold
-    res = jnp.sum(r_normal1 * diff, axis=-1)
-
-    # J_rot = -n x ... : row vector n^T @ -skew(p) == cross(p, n)
-    J_trs = r_normal1
-    J_rot = jnp.cross(v0_in_1, r_normal1)
-    J = jnp.concatenate([J_rot, J_trs], axis=-1)  # order [rot, trans]
-
-    far = jnp.linalg.norm(diff, axis=-1) > distance_threshold
-    valid = inview & ~far & mask0 & mask1 & normal_agree
-    res = jnp.where(valid, res, 0.0)
-    J = jnp.where(valid[..., None], J, 0.0)
-    return res, J, valid
-
-
-def _gn_update(res, J, pose10, damping, huber_delta: float = 0.02):
-    """One damped Gauss-Newton step: (JᵀJ + λ tr diag) ξ = -Jᵀr, pose ← exp(ξ)·pose.
-
-    Residuals are Huber-weighted (w = min(1, δ/|r|)): point-to-plane
-    residuals at association/occlusion boundaries are heavy-tailed, and an
-    unweighted solve occasionally snaps into a wrong minimum when the view
-    content shifts (the reference's plain GN, icp.py:106-129, has the same
-    failure mode — this is a robustness improvement, δ=2 cm).
-    """
-    Jf = J.reshape(-1, 6)
-    rf = res.reshape(-1)
-    w = jnp.minimum(1.0, huber_delta / jnp.maximum(jnp.abs(rf), 1e-12))
-    Jw = Jf * w[:, None]
-    JtJ = Jw.T @ Jf                      # 6x6 via MXU-friendly matmul
-    JtR = Jw.T @ rf
+    # J = [cross(p', n'), n'] (order [rot, trans], icp.py:51-104); the
+    # normal equations JtJ/JtR come out of ONE [7,N]x[N,7] matmul over the
+    # stacked J planes + residual row
+    res = res * valid
+    A = jnp.stack([
+        (y * rnz - z * rny) * valid,
+        (z * rnx - x * rnz) * valid,
+        (x * rny - y * rnx) * valid,
+        rnx * valid, rny * valid, rnz * valid,
+        res,
+    ])                                                  # [7, N]
+    w = jnp.minimum(1.0, huber_delta / jnp.maximum(jnp.abs(res), 1e-12))
+    M = (A * w[None, :]) @ A.T                          # [7, 7] via MXU
+    JtJ = M[:6, :6]
+    JtR = M[:6, 6]
     eye = jnp.eye(6, dtype=JtJ.dtype)
-    H = JtJ + (jnp.trace(JtJ) * damping) * eye
-    xi = -jnp.linalg.solve(H, JtR)
+    Hm = JtJ + (jnp.trace(JtJ) * damping) * eye
+    xi = -jnp.linalg.solve(Hm, JtR)
     return exp_se3(xi) @ pose10
 
 
@@ -147,12 +178,18 @@ def icp_solve_all_levels(pose10, vertex1_pyr, vertex0_pyr, normal1_pyr,
             Ks = Ks.at[2, 2].set(1.0)
             v1, v0 = vertex1_pyr[level], vertex0_pyr[level]
             n1, n0 = normal1_pyr[level], normal0_pyr[level]
+            H, W = v1.shape[:2]
+            # source planes + packed target, built once per level (loop-
+            # invariant; hoisted out of the fori body by XLA)
+            fv, fn = v1.reshape(-1, 3), n1.reshape(-1, 3)
+            src = (fv[:, 0], fv[:, 1], fv[:, 2],
+                   fn[:, 0], fn[:, 1], fn[:, 2])
+            tgt = pack_target(v0, n0)
 
-            def body(_, pose, v1=v1, v0=v0, n1=n1, n0=n0, Ks=Ks):
-                res, J, _ = residuals_jacobian(
-                    v1, v0, n1, n0, pose, Ks,
+            def body(_, pose, src=src, tgt=tgt, H=H, W=W, Ks=Ks):
+                return gn_iteration(
+                    pose, src, tgt, H, W, Ks, damping,
                     distance_threshold, normal_threshold, association)
-                return _gn_update(res, J, pose, damping)
 
             pose10 = jax.lax.fori_loop(0, n_iter, body, pose10)
 

@@ -201,7 +201,10 @@ def _suffix_excl(x: jnp.ndarray) -> jnp.ndarray:
 
 class _Carry(NamedTuple):
     T: jnp.ndarray            # [256]
-    color: jnp.ndarray        # [256, 3]
+    color: jnp.ndarray        # [3, 256] — pixel axis LAST: the carry is
+    #   materialized (read+written) every while/scan step, and a [256, 3]
+    #   layout would lane-pad 3 -> 128 (42x traffic on the fattest carry
+    #   leaf); transposed to the external [256, 3] contract once per call
     depth: jnp.ndarray        # [256]
     depth_index: jnp.ndarray  # [256] int32 (sorted-space position, -1 none)
     depth_weight: jnp.ndarray
@@ -213,7 +216,7 @@ def _init_carry():
     n = TILE * TILE
     return _Carry(
         T=jnp.ones(n),
-        color=jnp.zeros((n, 3)),
+        color=jnp.zeros((3, n)),
         depth=jnp.zeros(n),
         depth_index=jnp.full(n, -1, jnp.int32),
         depth_weight=jnp.zeros(n),
@@ -232,8 +235,8 @@ def _blend_chunk(carry: _Carry, feat_chunk: FeatCols, idx_chunk, pix,
     w = alpha * T_in                                      # [256, C]
 
     color = carry.color + jax.lax.dot_general(
-        w, rgb_t, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [256, 3]
+        rgb_t, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [3, 256]
 
     # first opaque hit (front-to-back == ascending chunk position)
     has_hit = jnp.any(opaque, axis=1)
@@ -370,7 +373,7 @@ def blend_tiles_pregathered(
             _, carry = jax.lax.while_loop(cond, step, (jnp.int32(0), _init_carry()))
 
         return TileOutputs(
-            color=carry.color,
+            color=carry.color.T,
             depth=carry.depth,
             depth_index=carry.depth_index,
             color_index=carry.color_index,
@@ -539,7 +542,7 @@ def _fused_fwd(tile_feat: FeatCols, tile_gidx, tile_counts, origins,
         done, carry, entry = jax.lax.while_loop(
             cond, step, (jnp.int32(0), _init_carry(), entry0))
         out = TileOutputs(
-            color=carry.color, depth=carry.depth,
+            color=carry.color.T, depth=carry.depth,
             depth_index=carry.depth_index, color_index=carry.color_index,
             depth_weight=carry.depth_weight, color_weight=carry.color_weight,
             T_final=carry.T)
@@ -628,8 +631,8 @@ def _fused_bwd(opaque_threshold, T_threshold, use_pallas, pallas_interpret,
             gcb = psum(gpow * (-dx * dy))
             gcc = psum(gpow * (-0.5 * dy * dy))
             gopa = psum(galpha * e)
-            grgb = jax.lax.dot_general(w, gc, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)  # [C, 3]
+            grgb_t = jax.lax.dot_general(gc, w, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)  # [3, C]
 
             # depth: the forward recorded the hit's ORIGINAL index; a
             # gaussian appears at most once per tile list, so matching
@@ -637,29 +640,32 @@ def _fused_bwd(opaque_threshold, T_threshold, use_pallas, pallas_interpret,
             hit = opaque & (gidx[None, :] == didx[:, None]) & (didx >= 0)[:, None]
             gz = psum(jnp.where(hit, gd[:, None], 0.0))
 
-            # accumulate PACKED [C, 11]: one sublane-axis update per step;
-            # ten per-column updates measured ~2x the whole backward's cost
-            gchunk = jnp.concatenate([
-                gmean_x[:, None], gmean_y[:, None],
-                gca[:, None], gcb[:, None], gcc[:, None],
-                gz[:, None], grgb, gopa[:, None],
-                jnp.zeros((chunk, 1)),
-            ], axis=-1)
-            gfeat = jax.lax.dynamic_update_slice_in_dim(
-                gfeat, gchunk, c * chunk, axis=0)
-            return c - 1, s_carry + tot, gfeat
+            # accumulate PACKED as [11, Kt] (Kt on lanes; a [Kt, 11] carry
+            # would lane-pad 11 -> 128 and move ~12x per step) with the
+            # chunk written on the SUBLANE axis of an [11, n_chunks, chunk]
+            # view (a dynamic offset on the lane axis lowers to general
+            # lane rotations — the measured _chunk_slice trap)
+            gchunk = jnp.stack([
+                gmean_x, gmean_y, gca, gcb, gcc, gz,
+                grgb_t[0], grgb_t[1], grgb_t[2], gopa,
+                jnp.zeros((chunk,)),
+            ])                                              # [11, chunk]
+            r = gfeat.reshape(11, Kt // chunk, chunk)
+            r = jax.lax.dynamic_update_slice_in_dim(
+                r, gchunk[:, None, :], c, axis=1)
+            return c - 1, s_carry + tot, r.reshape(11, Kt)
 
         _, _, gfeat = jax.lax.while_loop(
             cond, step,
-            (n_done - 1, jnp.zeros(TILE * TILE), jnp.zeros((Kt, 11))))
+            (n_done - 1, jnp.zeros(TILE * TILE), jnp.zeros((11, Kt))))
         return gfeat
 
     g_packed = jax.vmap(bwd_tile)(
         tile_feat, tile_gidx, origins, entry_T, done, T_fin, depth_index,
-        g_color, g_depth, g_T)                              # [T, Kt, 11]
+        g_color, g_depth, g_T)                              # [T, 11, Kt]
     # unpack ONCE via a transpose (11 per-column lane-extractions would
     # re-read the padded array 11x)
-    gT = jnp.transpose(g_packed, (2, 0, 1))
+    gT = jnp.transpose(g_packed, (1, 0, 2))
     g_feat = FeatCols(*(gT[i] for i in range(11)))
 
     import numpy as np

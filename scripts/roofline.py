@@ -282,16 +282,18 @@ def probe_icp_iter(level_shape, association, damping,
     import jax
     import jax.numpy as jnp
 
-    from rtgslam_tpu.ops.icp import _gn_update, residuals_jacobian
+    from rtgslam_tpu.ops.icp import gn_iteration, pack_target
 
     h, w = level_shape
 
     def f(v0, v1, n0, n1, pose, K):
         with jax.default_matmul_precision("highest"):
-            res, J, _ = residuals_jacobian(
-                v0, v1, n0, n1, pose, K,
+            fv, fn = v0.reshape(-1, 3), n0.reshape(-1, 3)
+            src = (fv[:, 0], fv[:, 1], fv[:, 2],
+                   fn[:, 0], fn[:, 1], fn[:, 2])
+            return gn_iteration(
+                pose, src, pack_target(v1, n1), h, w, K, damping,
                 distance_threshold, normal_threshold, association)
-            return _gn_update(res, J, pose, damping)
 
     s3 = jax.ShapeDtypeStruct((h, w, 3), jnp.float32)
     p = jax.ShapeDtypeStruct((4, 4), jnp.float32)
