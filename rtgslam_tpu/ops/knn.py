@@ -35,6 +35,7 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
       (dist2 [Q, k], idx [Q, k]) — squared distances ascending; idx is -1 /
       dist inf where fewer than k valid references exist.
     """
+    assert chunk % 128 == 0, "chunk must be a multiple of the 128-lane segment"
     Q = query.shape[0]
     R = ref.shape[0]
     n_chunks = -(-R // chunk)
@@ -43,8 +44,6 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
     valid_p = jnp.pad(ref_valid, (0, pad))
 
     q_norm = jnp.sum(query * query, axis=-1, keepdims=True)      # [Q, 1]
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (Q, chunk), 1)
 
     def body(carry, c):
         best_d, best_i = carry
@@ -58,21 +57,62 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
         d2 = q_norm + r_norm[None, :] - 2.0 * cross               # [Q, C]
         d2 = jnp.where(v[None, :], jnp.maximum(d2, 0.0), jnp.inf)
 
-        # Chunk-local k-smallest via k iterative min-extractions (first
-        # column wins ties, then is masked out) — NOT top_k over the
-        # [Q, k+chunk] concat: XLA lowers that to an O(log^2) multi-pass
-        # sort whose materialized passes measured ~10 GB per chunk in the
-        # optimized HLO (scripts/hlo_traffic.py); the extraction passes are
-        # O(k) sweeps over [Q, chunk] and fuse.
-        work = d2
-        cand_d, cand_i = [], []
+        # Chunk-local k-smallest via a two-level segment tournament.  NOT
+        # top_k over the [Q, k+chunk] concat (XLA lowers that to an
+        # O(log^2) multi-pass sort, ~10 GB/chunk in the optimized HLO) and
+        # NOT k iterative min-extraction sweeps either: each sweep re-read
+        # and rewrote the whole [Q, chunk] block (~15 full-block passes for
+        # k=4 — the round-3 formulation; hlo_traffic measured it as the #1
+        # byte consumer of the whole frame_chain).  Here the [Q, chunk]
+        # block has exactly ONE consumer — an argmin pass over [Q, S, 128]
+        # lane segments, into which the d2 elementwise chain fuses — so the
+        # block costs one write + one read (or nothing, if the reduce fuses
+        # over the dot output).  Everything downstream (segment-min values,
+        # the k extraction rescans) is RECOMPUTED from the [chunk, 3] ref
+        # points via tiny gathers rather than read back out of d2: a second
+        # d2 consumer would make XLA duplicate the whole elementwise chain
+        # into each consumer's fusion (measured: 5 full-block recomputes),
+        # and optimization_barrier is stripped by some backends.  All
+        # value comparisons after the argmin happen among recomputed
+        # values, so the two rounding regimes never mix.
+        L = 128                                # lane-width segments
+        S = chunk // L
+        seg_arg = jnp.argmin(d2.reshape(Q, S, L), axis=2)         # [Q, S]
+
+        def dist_at(idx):
+            """Recompute masked d2 at in-chunk ref indices [Q, ...]."""
+            rs = r[idx]                                           # [..., 3]
+            dv = (q_norm.reshape((Q,) + (1,) * (idx.ndim - 1))
+                  + jnp.sum(rs * rs, axis=-1)
+                  - 2.0 * jnp.einsum("qc,q...c->q...", query, rs,
+                                     precision=jax.lax.Precision.HIGHEST))
+            return jnp.where(v[idx], jnp.maximum(dv, 0.0), jnp.inf)
+
+        scol = jnp.arange(S)
+        lane = jnp.arange(L)
+        seg_min = dist_at(scol[None, :] * L + seg_arg)            # [Q, S]
+
+        cand_d, cand_i, winners = [], [], []
         for _ in range(k):
-            m = jnp.min(work, axis=1)                             # [Q]
-            mi = jnp.min(jnp.where(work == m[:, None], col, chunk),
-                         axis=1)                                  # first min
+            s_star = jnp.argmin(seg_min, axis=1)                  # [Q]
+            m = jnp.take_along_axis(seg_min, s_star[:, None], 1)[:, 0]
+            l_star = jnp.take_along_axis(seg_arg, s_star[:, None], 1)[:, 0]
             cand_d.append(m)
-            cand_i.append(c * chunk + mi)
-            work = jnp.where(col == mi[:, None], jnp.inf, work)
+            cand_i.append(c * chunk + s_star * L + l_star)
+            winners.append((s_star, l_star))
+            # rescan the winning segment with every winner extracted so
+            # far masked out (two top-k entries may share a segment), and
+            # patch the [Q, S] tables at that one column
+            row = dist_at(s_star[:, None] * L + lane[None, :])    # [Q, L]
+            for ps, pl in winners:
+                row = jnp.where((ps == s_star)[:, None]
+                                & (lane[None, :] == pl[:, None]),
+                                jnp.inf, row)
+            new_arg = jnp.argmin(row, axis=1)                     # [Q]
+            new_min = jnp.take_along_axis(row, new_arg[:, None], 1)[:, 0]
+            at = scol[None, :] == s_star[:, None]                 # [Q, S]
+            seg_min = jnp.where(at, new_min[:, None], seg_min)
+            seg_arg = jnp.where(at, new_arg[:, None], seg_arg)
         cd = jnp.stack(cand_d, axis=1)                            # [Q, k]
         ci = jnp.stack(cand_i, axis=1).astype(jnp.int32)
 

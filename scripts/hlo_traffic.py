@@ -75,7 +75,13 @@ def parse_shapes(text):
 
 
 def main():
-    target = sys.argv[1] if len(sys.argv) > 1 else "frame_chain"
+    argv = sys.argv[1:]
+    platform = None
+    if "--platform" in argv:
+        i = argv.index("--platform")
+        platform = argv[i + 1]
+        del argv[i:i + 2]
+    target = argv[0] if argv else "frame_chain"
     shutil.rmtree(DUMP, ignore_errors=True)
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_dump_to={DUMP}").strip()
@@ -83,6 +89,10 @@ def main():
     # would skip the XLA pipeline and produce no dump
     import jax  # noqa: E402
 
+    if platform:
+        # CPU lowering while the tunnel is down: fusion boundaries differ
+        # from TPU but the dominant dense intermediates are the same
+        jax.config.update("jax_platforms", platform)
     jax.config.update("jax_enable_compilation_cache", False)
 
     with open(SPECS, "rb") as f:

@@ -78,6 +78,31 @@ def test_knn_matches_scipy():
     assert np.allclose(np.asarray(d2), d_ref ** 2, atol=1e-4)
 
 
+def test_knn_tournament_brute_force():
+    """Segment-tournament extraction vs brute force: multi-chunk, duplicate
+    points (exact ties inside and across 128-lane segments), invalid refs."""
+    rng = np.random.default_rng(7)
+    q = rng.uniform(0, 2, (97, 3)).astype(np.float32)
+    r = rng.uniform(0, 2, (500, 3)).astype(np.float32)
+    r[120] = r[40]          # duplicate across chunks (chunk=256)
+    r[41] = r[40]           # duplicate inside one segment
+    valid = np.ones(500, bool)
+    valid[rng.choice(500, 60, replace=False)] = False
+    d2, idx = knn.knn(jnp.asarray(q), jnp.asarray(r), jnp.asarray(valid),
+                      k=4, chunk=256)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    dist = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    dist[:, ~valid] = np.inf
+    order = np.argsort(dist, axis=1, kind="stable")[:, :4]
+    ref_d = np.take_along_axis(dist, order, axis=1)
+    assert np.allclose(d2, ref_d, atol=1e-4)
+    # indices must agree except where exact ties permit either order
+    mism = idx != order
+    if mism.any():
+        qq, kk = np.nonzero(mism)
+        assert np.allclose(dist[qq, idx[qq, kk]], ref_d[qq, kk], atol=1e-6)
+
+
 def test_knn_respects_validity():
     q = jnp.asarray([[0.0, 0, 0]])
     r = jnp.asarray([[0.1, 0, 0], [0.2, 0, 0], [5, 5, 5]])
