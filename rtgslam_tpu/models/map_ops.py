@@ -205,7 +205,7 @@ def insert_temp(state: MapState, temp: TempPoints, log_scales: jnp.ndarray,
     n_free = jnp.sum(state.status == FREE)
 
     # pack valid temp entries first so they pair with the first free slots
-    order = jnp.argsort(~temp.valid)  # valid rows first, stable
+    order = segment_ops.stable_partition_order(temp.valid)  # valid first, stable
     t_xyz = temp.xyz[order]
     t_normal = temp.normal[order]
     t_color = temp.color[order]

@@ -35,6 +35,7 @@ from .gaussian_map import (
     MapState, activated_opacity, activated_scales, derived_normal,
     shs_from_features,
 )
+from ..ops.segment import stable_partition_order
 from ..utils.geometry import normalize
 from .losses import masked_mean
 
@@ -344,10 +345,8 @@ def optimize_prepare(
     local = mode == "local"
     L = row_limit or state.capacity
     pool_full = alive_mask(state) if local else stable_mask(state)
-    # compact basis: pool rows first (stable argsort), original slot ids
-    pool_order = jnp.argsort(
-        jnp.where(pool_full[:L], 0, 1).astype(jnp.int32),
-        stable=True).astype(jnp.int32)
+    # compact basis: pool rows first (stable partition), original slot ids
+    pool_order = stable_partition_order(pool_full[:L])
     n_pool = jnp.sum(pool_full[:L]).astype(jnp.int32)
 
     if local:

@@ -52,3 +52,20 @@ def accumulate_gaussian_error(
     g_depth = segment_mean(depth_error, depth_index)
     g_normal = segment_mean(normal_error, depth_index)
     return g_color, g_depth, g_normal
+
+
+def stable_partition_order(mask: jnp.ndarray) -> jnp.ndarray:
+    """Permutation putting ``mask``-true rows first, original order kept
+    within each side — i.e. ``jnp.argsort(~mask, stable=True)``, but via two
+    cumsums and one scatter of iota instead of a full key sort.  A binary
+    stable partition is the hot reordering of both the spawn pack
+    (map_ops.insert_temp) and the optimize pool basis (optimize_prepare);
+    XLA lowers argsort to an O(log^2 n) multi-pass bitonic network whose
+    materialized key+index passes cost ~20x the three linear passes here.
+    """
+    n = mask.shape[0]
+    n_true = jnp.sum(mask)
+    pos = jnp.where(mask, jnp.cumsum(mask) - 1,
+                    n_true + jnp.cumsum(~mask) - 1)      # destination of row i
+    return (jnp.zeros(n, jnp.int32)
+            .at[pos].set(jnp.arange(n, dtype=jnp.int32), mode="drop"))

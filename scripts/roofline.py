@@ -591,6 +591,10 @@ def main():
                     help="skip device timing (cost analysis only)")
     ap.add_argument("--frames", type=int, default=14)
     ap.add_argument("--reps", type=int, default=9)
+    ap.add_argument("--platform", default=None,
+                    help="in-process backend override (e.g. cpu, for spec "
+                         "capture while the TPU tunnel is down; implies "
+                         "--no-measure since CPU timings are meaningless)")
     args = ap.parse_args()
 
     if args.capture_fullres:
@@ -598,6 +602,10 @@ def main():
         return
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        args.no_measure = True
 
     from bench import make_args
 
@@ -704,9 +712,16 @@ def main():
                              "speed_of_light_fps_v5e":
                                  round(1e3 / ffr["sol_ms_v5e"], 1)}
 
-    with open(os.path.join(ROOT, "ROOFLINE.json"), "w") as f:
+    # a non-TPU backend produces CPU-layout byte counts that are NOT
+    # comparable with the committed TPU cost model — keep them out of the
+    # canonical ROOFLINE.json (this run is for spec capture / quick deltas)
+    name = ("ROOFLINE.json" if not args.platform
+            else f"ROOFLINE_{args.platform}.json")
+    out = (os.path.join(ROOT, name) if not args.platform
+           else os.path.join("/tmp", name))
+    with open(out, "w") as f:
         json.dump(result, f, indent=1)
-    print(f"\nwrote {os.path.join(ROOT, 'ROOFLINE.json')}")
+    print(f"\nwrote {out}")
 
 
 if __name__ == "__main__":

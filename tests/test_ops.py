@@ -163,3 +163,16 @@ def test_exp_se3_equals_reference_order():
     xi2 = jnp.asarray([0.1, 0, 0, 0, 0, 0])
     T2 = np.asarray(exp_se3(xi2))
     assert abs(T2[1, 2] + np.sin(0.1)) < 1e-5
+
+
+def test_stable_partition_order_matches_argsort():
+    rng = np.random.default_rng(3)
+    for n in (1, 7, 128, 1000):
+        mask = jnp.asarray(rng.random(n) < 0.4)
+        got = np.asarray(segment.stable_partition_order(mask))
+        want = np.argsort(~np.asarray(mask), kind="stable")
+        assert np.array_equal(got, want), n
+    # all-true / all-false edges
+    for mask in (jnp.ones(16, bool), jnp.zeros(16, bool)):
+        got = np.asarray(segment.stable_partition_order(mask))
+        assert np.array_equal(got, np.arange(16))
