@@ -85,6 +85,12 @@ def make_args(H, W, env_overrides=True):
 
 
 def main():
+    if os.environ.get("BENCH_PLATFORM"):
+        # smoke-test backend override (e.g. cpu while the tunnel is down);
+        # env JAX_PLATFORMS is ignored by the axon plugin — only the
+        # in-process config update works (CLAUDE.md)
+        import jax
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     H = int(os.environ.get("BENCH_H", 170))
     W = int(os.environ.get("BENCH_W", 300))
     n_frames = int(os.environ.get("BENCH_FRAMES", 40))
@@ -120,11 +126,19 @@ def main():
     mean_tracking = float(np.mean(track_times))
     med_mapping = float(np.median(map_times))
     med_tracking = float(np.median(track_times))
-    # Headline fps uses the MEDIAN mapping time: the tunneled device wedges
-    # sporadically for 30-60 s (CLAUDE.md), which poisons the reference's
-    # mean-based rule (monitor.py:22-24) with pure environment noise.  The
-    # reference-rule mean figure is reported alongside in `detail`.
-    fps = 1.0 / med_mapping if med_mapping > 0 else 0.0
+    # Headline fps follows the reference rule fps = 1 / mean(mapping time)
+    # (monitor.py:22-24), with ONE documented adjustment: frames that hit a
+    # tunnel wedge (the axon worker parks for 30-60 s, CLAUDE.md) are
+    # dropped before the mean.  The 10 s threshold is unambiguous — no real
+    # mapping frame at this size is within 10x of it (optimize frames are
+    # ~0.5 s) — and on hardware without wedges zero frames are dropped, so
+    # the headline IS the reference rule there by construction.  The
+    # unfiltered mean-rule figure is reported alongside in `detail`.
+    WEDGE_S = 10.0
+    kept = [t for t in map_times if t < WEDGE_S]
+    n_wedged = len(map_times) - len(kept)
+    mean_mapping_kept = float(np.mean(kept)) if kept else mean_mapping
+    fps = 1.0 / mean_mapping_kept if mean_mapping_kept > 0 else 0.0
     ate = tracker.eval_ate()
 
     from rtgslam_tpu.slam.eval import eval_frame
@@ -146,6 +160,9 @@ def main():
             "median_mapping_ms": round(med_mapping * 1e3, 2),
             "fps_reference_mean_rule": round(
                 1.0 / mean_mapping if mean_mapping > 0 else 0.0, 3),
+            "fps_median_rule": round(
+                1.0 / med_mapping if med_mapping > 0 else 0.0, 3),
+            "wedge_frames_dropped": n_wedged,
             "e2e_fps": round(1.0 / (med_tracking + med_mapping), 3),
             "ate_cm": round(float(ate), 4),
             "psnr": round(float(metrics["psnr"]), 3),
