@@ -470,7 +470,9 @@ _BIG = jnp.float32(3.0e38)
 
 def _chunk_alphas_vjp(cols: FeatCols, pix, opaque_threshold):
     """Like _chunk_alphas but also returns the pieces the backward needs:
-    exp-term, gradient gate, pixel deltas, conic columns."""
+    exp-term and gradient gate.  dx/dy are NOT returned: the moment-matmul
+    backward (see _fused_bwd) made the power chain their only consumer, so
+    XLA fuses them instead of materializing two [256, C] tensors."""
     z = cols.depth
     rgb_t = jnp.stack([cols.r, cols.g, cols.b], axis=0)   # [3, C]
     elig = cols.elig > 0.5
@@ -486,7 +488,28 @@ def _chunk_alphas_vjp(cols: FeatCols, pix, opaque_threshold):
     gate = (power <= 0) & (raw >= ALPHA_EPS) & (raw < ALPHA_MAX)
     alpha = jnp.where((power > 0) | (raw < ALPHA_EPS), 0.0, alpha)
     opaque = elig[None, :] & (alpha >= opaque_threshold)
-    return alpha, rgb_t, z, opaque, e, gate, dx, dy
+    return alpha, rgb_t, z, opaque, e, gate
+
+
+def _moment_basis() -> jnp.ndarray:
+    """[6, 256] constant pixel-moment basis in TILE-LOCAL coordinates:
+    rows are (1, u, v, u^2, u*v, v^2) over the tile's 16x16 pixel grid.
+
+    The backward needs six pixel-axis reductions sum_p gpow * f(dx, dy)
+    with f in {ca*dx+cb*dy, cc*dy+cb*dx, dx^2, dx*dy, dy^2, ...}.  Expanding
+    dx = u - (mean_x - origin_x) turns all of them into linear combinations
+    of the raw moments S_k = sum_p B[k, p] * gpow[p, c] — ONE [6,256]x[256,C]
+    MXU matmul against this compile-time constant, instead of six separate
+    [256, C] product tensors (plus dx/dy themselves) materialized per chunk
+    step (measured as the top HBM consumers of optimize_execute,
+    scripts/hlo_traffic.py).  Local (not absolute) coordinates keep the
+    recombination well-conditioned: |u| < 16 and |mean - origin| is bounded
+    by the binning influence radius, so no catastrophic cancellation."""
+    r = jnp.arange(TILE, dtype=jnp.float32)
+    u = jnp.tile(r, TILE)            # [256] — matches _tile_pixels order
+    v = jnp.repeat(r, TILE)
+    one = jnp.ones_like(u)
+    return jnp.stack([one, u, v, u * u, u * v, v * v], axis=0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -603,7 +626,7 @@ def _fused_bwd(opaque_threshold, T_threshold, use_pallas, pallas_interpret,
             c, s_carry, gfeat = state
             feat = _slice_cols(tfeat, c, chunk)
             gidx = _chunk_slice(tgidx, c, chunk)
-            alpha, rgb_t, z, opaque, e, gate, dx, dy = \
+            alpha, rgb_t, z, opaque, e, gate = \
                 _chunk_alphas_vjp(feat, pix, opaque_threshold)
 
             one_minus = 1.0 - alpha
@@ -625,11 +648,24 @@ def _fused_bwd(opaque_threshold, T_threshold, use_pallas, pallas_interpret,
 
             gpow = galpha * alpha                           # [256, C]
             ca, cb, cc = feat.conic_a, feat.conic_b, feat.conic_c
-            gmean_x = psum(gpow * (ca[None, :] * dx + cb[None, :] * dy))
-            gmean_y = psum(gpow * (cc[None, :] * dy + cb[None, :] * dx))
-            gca = psum(gpow * (-0.5 * dx * dx))
-            gcb = psum(gpow * (-dx * dy))
-            gcc = psum(gpow * (-0.5 * dy * dy))
+            # six pixel reductions sum_p gpow * f(dx, dy) as ONE moment
+            # matmul (see _moment_basis): S = B @ gpow, then recombine in
+            # [C] space with the tile-local means a = mx - ox, b = my - oy.
+            S = jax.lax.dot_general(
+                _moment_basis(), gpow, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)        # [6, C]
+            a = feat.mean_x - origin[0]
+            b = feat.mean_y - origin[1]
+            Ex = S[1] - a * S[0]                            # sum gpow*dx
+            Ey = S[2] - b * S[0]                            # sum gpow*dy
+            Exx = S[3] - 2.0 * a * S[1] + a * a * S[0]      # sum gpow*dx^2
+            Exy = S[4] - a * S[2] - b * S[1] + a * b * S[0]
+            Eyy = S[5] - 2.0 * b * S[2] + b * b * S[0]
+            gmean_x = ca * Ex + cb * Ey
+            gmean_y = cc * Ey + cb * Ex
+            gca = -0.5 * Exx
+            gcb = -Exy
+            gcc = -0.5 * Eyy
             gopa = psum(galpha * e)
             grgb_t = jax.lax.dot_general(gc, w, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)  # [3, C]

@@ -226,12 +226,22 @@ class SLAM:
             # commit it to the mapper's chip before the threads start
             self.mapper.state = jax.device_put(self.mapper.state,
                                                self.mapper_device)
-        mapper_thread = threading.Thread(target=self._mapping_loop, name="mapper")
-        tracker_thread = threading.Thread(target=self._tracking_loop, name="tracker")
-        saver_thread = threading.Thread(target=self._saver_loop, name="saver")
-        saver_thread.start()
-        mapper_thread.start()
-        tracker_thread.start()
+        # Both loops jit-compile on their own thread; XLA's (LLVM's) compile
+        # passes recurse deeply and have segfaulted by overflowing the
+        # default pthread stack under the CPU backend (observed twice in
+        # long suite runs, both with the stack parked in
+        # backend_compile_and_load on this thread).  Give pipeline threads
+        # an explicit 64 MiB stack; restore the default afterwards.
+        prev_stack = threading.stack_size(64 * 1024 * 1024)
+        try:
+            mapper_thread = threading.Thread(target=self._mapping_loop, name="mapper")
+            tracker_thread = threading.Thread(target=self._tracking_loop, name="tracker")
+            saver_thread = threading.Thread(target=self._saver_loop, name="saver")
+            saver_thread.start()     # stack_size applies at start()
+            mapper_thread.start()
+            tracker_thread.start()
+        finally:
+            threading.stack_size(prev_stack)
         tracker_thread.join()
         mapper_thread.join()
         self._save_q.put(None)      # drain remaining snapshots, then stop

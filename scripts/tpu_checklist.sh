@@ -1,0 +1,44 @@
+#!/bin/bash
+# One-shot runner for TODO_TPU.md — fire when the tunnel probe reports UP.
+# Runs the checklist in value order, one TPU process at a time, logging to
+# /tmp/tpu_checklist/.  Each step is individually timeout-bounded so a
+# wedge costs minutes; rerun the script and finished steps are skipped
+# (marker files).
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+LOG=/tmp/tpu_checklist
+mkdir -p "$LOG"
+
+probe() {
+  timeout 90 python -c "import numpy as np, jax.numpy as jnp; assert float(np.asarray(jnp.ones((4,))+1).sum())==8.0" >/dev/null 2>&1
+}
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  if [ -f "$LOG/$name.done" ]; then echo "== $name: already done"; return 0; fi
+  # re-probe before every step: the tunnel flaps mid-checklist and a wedged
+  # step otherwise burns its whole timeout on a dead connection
+  if ! probe; then echo "== $name: tunnel DOWN — skipping"; return 1; fi
+  echo "== $name ($(date +%H:%M:%S)) -> $LOG/$name.log"
+  if timeout "$t" "$@" > "$LOG/$name.log" 2>&1; then
+    touch "$LOG/$name.done"; echo "   OK"
+  else
+    echo "   FAILED/TIMEOUT (rc=$?) — tail:"; tail -3 "$LOG/$name.log"
+  fi
+}
+
+# 0. probe
+if ! timeout 90 python -c "import numpy as np, jax.numpy as jnp; assert float(np.asarray(jnp.ones((4,))+1).sum())==8.0" >/dev/null 2>&1; then
+  echo "tunnel DOWN — aborting"; exit 1
+fi
+echo "tunnel UP"
+
+step bench           3600 python bench.py
+step roofline_meas   5400 python scripts/roofline.py
+step traffic_frame   1800 python scripts/hlo_traffic.py frame_chain
+step traffic_exec    1800 python scripts/hlo_traffic.py optimize_execute
+step fullres         5400 python scripts/roofline.py --fullres --no-measure
+step pallas_bwd       900 python scripts/pallas_bwd_probe.py
+step closure_660     7200 python scripts/closure_probe.py --frames 660
+echo "all steps attempted — fold results into PERF.md / ROOFLINE.json / README"
