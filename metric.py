@@ -80,6 +80,15 @@ def main():
     pose_es_path = os.path.join(args.save_path, "save_traj", "pose_es.npy")
     pose_es = np.load(pose_es_path) if os.path.exists(pose_es_path) else None
 
+    # geometry eval prefers the densified point cloud when slam.py wrote one
+    # (reference metric.py:156-157: pcd_densify.ply over the raw PLY)
+    pcd_rec_path = None
+    if getattr(args, "pcd_densify", False):
+        cand = os.path.join(args.save_path, "save_model", "pcd_densify.ply")
+        if os.path.exists(cand):
+            pcd_rec_path = cand
+            print(f"[metric] geometry eval ply: {cand}")
+
     rows = []
     infos = dataset.scene_info.train_cameras
     n = len(infos) if cli.eval_frame_num == -1 else min(cli.eval_frame_num, len(infos))
@@ -94,7 +103,7 @@ def main():
             save_path=os.path.join(args.save_path, "eval_metric"),
             min_depth=args.min_depth, max_depth=args.max_depth,
             save_picture=(frame_id % 20 == 0), run_pcd=run_pcd,
-            pcd_gt_path=dataset.mesh_path)
+            pcd_gt_path=dataset.mesh_path, pcd_rec_path=pcd_rec_path)
         metrics["frame"] = frame_id
         rows.append(metrics)
         print(f"[metric] frame {frame_id}: psnr {metrics['psnr']:.2f} "

@@ -97,25 +97,34 @@ def gather_temp_points(
 
 @partial(jax.jit, static_argnames=("ref_limit",))
 def temp_filter_dedup(temp: TempPoints, state: MapState,
-                      ref_limit: int | None = None) -> TempPoints:
+                      ref_limit: int | None = None,
+                      query_count=None) -> TempPoints:
     """Drop temp points inside an existing unstable gaussian's 0.6-radius
     3-NN neighbourhood (``temp_points_filter``, mapper.py:797-826).
 
     ``ref_limit`` bounds the KNN reference scan to the map's occupied slot
     prefix (inserts always fill the lowest free slots, so alive rows live in
-    ``[0, high_water_mark)``) — the dominant per-frame KNN cost then scales
-    with the actual map size, not the capacity.
+    ``[0, high_water_mark)``).  On top of that the unstable rows are
+    stable-partitioned to a live prefix so the KNN's chunk loop trips scale
+    with the actual UNSTABLE count, and ``query_count`` (live temp rows —
+    the caller compacts the temp buffer first) bounds the query blocks —
+    per-frame KNN traffic then scales with live x live, not capacity x
+    capacity.  Selection is unchanged: a stable partition preserves the
+    relative order of valid rows, which is the tournament's tie-break key.
     """
     lim = ref_limit or state.capacity
-    xyz = state.xyz[:lim]
     status = state.status[:lim]
-    scaling = state.scaling[:lim]
     unstable = status == UNSTABLE
-    d2, idx = knn_ops.knn(temp.xyz, xyz, unstable, k=3)
-    radius = gaussian_radius(scaling)
+    order_r = segment_ops.stable_partition_order(unstable)
+    xyz = state.xyz[:lim][order_r]
+    radius = gaussian_radius(state.scaling[:lim])[order_r]
+    n_unstable = jnp.sum(unstable)
+    valid_p = jnp.arange(lim) < n_unstable
+    d2, idx = knn_ops.knn(temp.xyz, xyz, valid_p, k=3,
+                          query_count=query_count, ref_count=n_unstable)
     corr = jnp.where(idx >= 0, radius[jnp.clip(idx, 0)] * 0.6, 0.0)
     inside = jnp.any(jnp.sqrt(jnp.where(jnp.isinf(d2), jnp.inf, d2)) < corr, axis=-1)
-    has_unstable = jnp.any(unstable)
+    has_unstable = n_unstable > 0
     return temp._replace(valid=temp.valid & ~(inside & has_unstable))
 
 
@@ -154,13 +163,16 @@ def temp_attach_to_stable(
 @partial(jax.jit, static_argnames=("config", "ref_limit"))
 def temp_scale_init(temp: TempPoints, state: MapState,
                     config: GaussianMapConfig,
-                    ref_limit: int | None = None) -> Tuple[TempPoints, jnp.ndarray]:
+                    ref_limit: int | None = None,
+                    query_count=None) -> Tuple[TempPoints, jnp.ndarray]:
     """3-NN based scale initialization + crowding rejection
     (``update_geometry``, gaussian_pointcloud.py:366-405; the CUDA
     ``distCUDA2`` fork becomes :func:`rtgslam_tpu.ops.knn.knn`).
 
-    Returns (filtered temp, log-scales [Kt, 3]).  ``ref_limit`` as in
-    :func:`temp_filter_dedup`.
+    Returns (filtered temp, log-scales [Kt, 3]).  ``ref_limit`` /
+    ``query_count`` as in :func:`temp_filter_dedup`; the [temp ++ map]
+    reference concat is stable-partitioned to a valid prefix so the chunk
+    trips scale with live counts (dedup holes in the temp prefix included).
     """
     lim = ref_limit or state.capacity
     alive = state.status[:lim] != FREE
@@ -170,7 +182,14 @@ def temp_scale_init(temp: TempPoints, state: MapState,
     ref_radius = jnp.concatenate(
         [temp_radius, gaussian_radius(state.scaling[:lim])])
 
-    d2, idx = knn_ops.knn(temp.xyz, ref_xyz, ref_valid, k=4)
+    order_r = segment_ops.stable_partition_order(ref_valid)
+    ref_xyz = ref_xyz[order_r]
+    ref_radius = ref_radius[order_r]
+    n_valid = jnp.sum(ref_valid)
+    valid_p = jnp.arange(ref_valid.shape[0]) < n_valid
+
+    d2, idx = knn_ops.knn(temp.xyz, ref_xyz, valid_p, k=4,
+                          query_count=query_count, ref_count=n_valid)
     d2, idx = d2[:, 1:], idx[:, 1:]  # drop self-match
     safe_idx = jnp.clip(idx, 0)
     dist = jnp.sqrt(jnp.where(jnp.isinf(d2), 1e12, d2)) - 3.0 * ref_radius[safe_idx]
@@ -442,11 +461,21 @@ def spawn_step(
 
     temp = gather_temp_points(vertex_w, normal_w, color, idx_a, val_a,
                               idx_b, val_b, config.init_opacity, max_each)
-    temp = temp_filter_dedup(temp, state, ref_limit=ref_limit)
+    # Compact live temp rows to a prefix so both KNNs below bound their
+    # query blocks by the LIVE spawn count (typically a few hundred) instead
+    # of the static 2*max_each buffer.  A stable partition preserves the
+    # relative order of valid rows, so insert_temp's slot assignment — and
+    # with it the whole downstream map — is unchanged.
+    order_t = segment_ops.stable_partition_order(temp.valid)
+    temp = TempPoints(*(x[order_t] for x in temp))
+    live = jnp.sum(temp.valid)
+    temp = temp_filter_dedup(temp, state, ref_limit=ref_limit,
+                             query_count=live)
     if has_stable:
         temp = temp_attach_to_stable(temp, state, stable_color_index,
                                      w2c, K, height, width, add_depth_thres)
-    temp, log_scales = temp_scale_init(temp, state, config, ref_limit=ref_limit)
+    temp, log_scales = temp_scale_init(temp, state, config,
+                                       ref_limit=ref_limit, query_count=live)
     return insert_temp(state, temp, log_scales, time, config)
 
 

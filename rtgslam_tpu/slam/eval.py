@@ -95,9 +95,14 @@ def eval_frame(mapper, frame, save_path: Optional[str] = None,
                min_depth: float = 0.0, max_depth: float = 5.0,
                save_picture: bool = False, run_pcd: bool = False,
                pcd_gt_path: Optional[str] = None,
-               opaque_threshold_eval: Optional[float] = None) -> Dict[str, float]:
+               opaque_threshold_eval: Optional[float] = None,
+               pcd_rec_path: Optional[str] = None) -> Dict[str, float]:
     """Render the frame from the current map and score it
-    (reference SLAM/eval.py:226-274)."""
+    (reference SLAM/eval.py:226-274).
+
+    ``pcd_rec_path`` points geometry eval at a reconstruction PLY — the
+    densified point cloud when available (reference metric.py:156-157
+    prefers ``pcd_densify.ply`` over raw gaussian centers)."""
     settings = mapper.settings
     if opaque_threshold_eval is not None:
         import dataclasses
@@ -110,10 +115,15 @@ def eval_frame(mapper, frame, save_path: Optional[str] = None,
         out, frame.image, frame.depth,
         save_path if save_picture else None, name, min_depth, max_depth)
     if run_pcd and pcd_gt_path and os.path.exists(pcd_gt_path):
-        from ..models.gaussian_map import STABLE, to_numpy_dict
+        if pcd_rec_path and os.path.exists(pcd_rec_path):
+            cols = read_ply(pcd_rec_path)
+            pts = np.stack([cols["x"], cols["y"], cols["z"]], axis=1)
+        else:
+            from ..models.gaussian_map import STABLE, to_numpy_dict
 
-        data = to_numpy_dict(mapper.state, STABLE)
-        metrics.update(eval_pcd(data["xyz"], pcd_gt_path))
+            data = to_numpy_dict(mapper.state, STABLE)
+            pts = data["xyz"]
+        metrics.update(eval_pcd(pts, pcd_gt_path))
     if save_path:
         os.makedirs(save_path, exist_ok=True)
         with open(os.path.join(save_path, f"{name}.json"), "w") as f:
@@ -121,19 +131,53 @@ def eval_frame(mapper, frame, save_path: Optional[str] = None,
     return metrics
 
 
+def sample_mesh_surface(vertices: np.ndarray, faces: np.ndarray,
+                        n: int, seed: int = 0) -> np.ndarray:
+    """Area-weighted uniform sampling of a triangle mesh's surface —
+    the ``trimesh.sample.sample_surface`` semantics the reference GT side
+    uses (``SLAM/eval.py:193``): pick triangles with probability
+    proportional to area, then a uniform barycentric point per pick."""
+    rng = np.random.default_rng(seed)
+    v0 = vertices[faces[:, 0]]
+    e1 = vertices[faces[:, 1]] - v0
+    e2 = vertices[faces[:, 2]] - v0
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    total = area.sum()
+    if total <= 0:
+        return vertices[rng.integers(0, len(vertices), n)]
+    tri = rng.choice(len(faces), size=n, p=area / total)
+    # uniform barycentric: fold (u, v) with u+v>1 back into the triangle
+    u = rng.random(n)
+    v = rng.random(n)
+    over = u + v > 1.0
+    u = np.where(over, 1.0 - u, u)
+    v = np.where(over, 1.0 - v, v)
+    return (v0[tri] + u[:, None] * e1[tri] + v[:, None] * e2[tri]).astype(np.float32)
+
+
 def eval_pcd(points: np.ndarray, gt_mesh_path: str,
-             threshold: float = 0.03, sample: int = 200_000) -> Dict[str, float]:
-    """Accuracy / completion / P / R / F1 vs GT mesh vertices
-    (reference SLAM/eval.py:149-223) using a host KDTree."""
+             threshold: float = 0.03, sample: int = 1_000_000) -> Dict[str, float]:
+    """Accuracy / completion / P / R / F1 vs the GT mesh, reference protocol
+    (``SLAM/eval.py:176-223``): the GT side is ``sample`` points drawn
+    area-weighted from the mesh SURFACE (``trimesh.sample.sample_surface``,
+    :193 — NOT the vertices, whose density tracks triangulation rather than
+    area), the reconstruction side is subsampled to the same budget, both
+    sides scored with nearest-neighbour KDTree distances.  Meshes without a
+    face element fall back to vertex sampling (synthetic point-set GTs)."""
     from scipy.spatial import cKDTree
 
-    gt_cols = read_ply(gt_mesh_path)
-    gt = np.stack([gt_cols["x"], gt_cols["y"], gt_cols["z"]], axis=1).astype(np.float32)
+    from ..utils.ply import read_mesh
+
+    verts, faces = read_mesh(gt_mesh_path)
     rng = np.random.default_rng(0)
+    if faces is not None and len(faces):
+        gt = sample_mesh_surface(verts, faces, sample)
+    else:
+        gt = verts
+        if len(gt) > sample:
+            gt = gt[rng.choice(len(gt), sample, replace=False)]
     if len(points) > sample:
         points = points[rng.choice(len(points), sample, replace=False)]
-    if len(gt) > sample:
-        gt = gt[rng.choice(len(gt), sample, replace=False)]
 
     d_p2g, _ = cKDTree(gt).query(points, k=1)
     d_g2p, _ = cKDTree(points).query(gt, k=1)

@@ -124,6 +124,99 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
     return {name: np.ascontiguousarray(table[name]) for name in names}
 
 
+def read_mesh(path: str):
+    """Read a triangle mesh PLY: (vertices [N, 3] f32, faces [M, 3] i32 or
+    ``None`` when the file has no face element).
+
+    Covers the GT-mesh inputs of the reference's ``eval_pcd``
+    (``SLAM/eval.py:184-186`` loads them with trimesh): binary little endian
+    or ascii, vertex element first, faces as ``property list uchar int``
+    triangles.
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    header_end = raw.index(b"end_header")
+    header = raw[:header_end].decode("ascii", errors="replace").splitlines()
+    body = raw[raw.index(b"\n", header_end) + 1:]
+
+    fmt = "binary_little_endian"
+    v_names: List[str] = []
+    v_types: List[str] = []
+    n_vertex = 0
+    n_face = 0
+    list_types = ("u1", "<i4")
+    in_face = False
+    for line in header:
+        parts = line.strip().split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            in_face = parts[1] == "face"
+            if parts[1] == "vertex":
+                n_vertex = int(parts[2])
+            elif parts[1] == "face":
+                n_face = int(parts[2])
+        elif parts[0] == "property":
+            if parts[1] == "list" and in_face:
+                tm = {"uchar": "u1", "uint8": "u1", "uint": "<u4",
+                      "int": "<i4", "int32": "<i4", "ushort": "<u2"}
+                list_types = (tm[parts[2]], tm[parts[3]])
+            elif parts[1] != "list" and not in_face:
+                v_types.append(parts[1])
+                v_names.append(parts[2])
+
+    type_map = {"float": "<f4", "float32": "<f4", "double": "<f8",
+                "uchar": "u1", "uint8": "u1", "int": "<i4", "int32": "<i4",
+                "ushort": "<u2", "short": "<i2"}
+    if fmt == "ascii":
+        lines = [l for l in body.decode("ascii").splitlines() if l.strip()]
+        vt = np.loadtxt(lines[:n_vertex], dtype=np.float64, ndmin=2)
+        xi = [v_names.index(a) for a in ("x", "y", "z")]
+        verts = vt[:, xi].astype(np.float32)
+        faces = None
+        if n_face:
+            ft = np.loadtxt(lines[n_vertex:n_vertex + n_face],
+                            dtype=np.int64, ndmin=2)
+            assert np.all(ft[:, 0] == 3), "only triangle meshes supported"
+            faces = ft[:, 1:4].astype(np.int32)
+        return verts, faces
+
+    v_dtype = np.dtype([(n, type_map[t]) for n, t in zip(v_names, v_types)])
+    vt = np.frombuffer(body, dtype=v_dtype, count=n_vertex)
+    verts = np.stack([vt["x"], vt["y"], vt["z"]], axis=1).astype(np.float32)
+    faces = None
+    if n_face:
+        f_dtype = np.dtype([("n", list_types[0]), ("v", list_types[1], (3,))])
+        ft = np.frombuffer(body, dtype=f_dtype,
+                           count=n_face, offset=n_vertex * v_dtype.itemsize)
+        assert np.all(ft["n"] == 3), "only triangle meshes supported"
+        faces = np.ascontiguousarray(ft["v"]).astype(np.int32)
+    return verts, faces
+
+
+def write_mesh(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
+    """Write a binary triangle-mesh PLY (test fixtures / synthetic GT)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    v = np.ascontiguousarray(vertices, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    header = "\n".join([
+        "ply", "format binary_little_endian 1.0",
+        f"element vertex {len(v)}",
+        "property float x", "property float y", "property float z",
+        f"element face {len(f)}",
+        "property list uchar int vertex_indices",
+        "end_header", ""])
+    f_rec = np.empty(len(f), dtype=np.dtype([("n", "u1"), ("v", "<i4", (3,))]))
+    f_rec["n"] = 3
+    f_rec["v"] = f
+    with open(path, "wb") as fh:
+        fh.write(header.encode("ascii"))
+        fh.write(v.tobytes())
+        fh.write(f_rec.tobytes())
+
+
 def read_gaussian_ply(path: str) -> Dict[str, np.ndarray]:
     """Read a reference-schema gaussian PLY into structured arrays.
 

@@ -103,6 +103,36 @@ def test_knn_tournament_brute_force():
         assert np.allclose(dist[qq, idx[qq, kk]], ref_d[qq, kk], atol=1e-6)
 
 
+def test_knn_blocked_counts_match_full():
+    """query_count / ref_count / q_block trip bounding is EXACT on the live
+    prefix: same results as the single-block full-capacity scan, and rows
+    past query_count stay (inf, -1)."""
+    rng = np.random.default_rng(11)
+    Q, R = 640, 900
+    q = rng.uniform(0, 2, (Q, 3)).astype(np.float32)
+    r = rng.uniform(0, 2, (R, 3)).astype(np.float32)
+    n_q, n_r = 213, 517          # live prefixes (not block/chunk aligned)
+    valid = np.zeros(R, bool)
+    valid[:n_r] = True
+    d_full, i_full = knn.knn(jnp.asarray(q), jnp.asarray(r),
+                             jnp.asarray(valid), k=3, chunk=256)
+    d_blk, i_blk = knn.knn(jnp.asarray(q), jnp.asarray(r),
+                           jnp.asarray(valid), k=3, chunk=256,
+                           query_count=jnp.int32(n_q),
+                           ref_count=jnp.int32(n_r), q_block=128)
+    d_blk, i_blk = np.asarray(d_blk), np.asarray(i_blk)
+    assert np.array_equal(i_blk[:n_q], np.asarray(i_full)[:n_q])
+    assert np.allclose(d_blk[:n_q], np.asarray(d_full)[:n_q])
+    # rows past the last processed block stay at the (inf, -1) init; the
+    # partial block's stragglers (213..255 here) carry real values
+    edge = -(-n_q // 128) * 128
+    assert np.all(np.isinf(d_blk[edge:])) and np.all(i_blk[edge:] == -1)
+    # a mid-chunk ref_count with stragglers marked invalid is also exact
+    d_b2, i_b2 = knn.knn(jnp.asarray(q), jnp.asarray(r), jnp.asarray(valid),
+                         k=3, chunk=256, ref_count=jnp.int32(n_r))
+    assert np.array_equal(np.asarray(i_b2), np.asarray(i_full))
+
+
 def test_knn_respects_validity():
     q = jnp.asarray([[0.0, 0, 0]])
     r = jnp.asarray([[0.1, 0, 0], [0.2, 0, 0], [5, 5, 5]])
