@@ -225,6 +225,7 @@ def _drifting_fused_step(bias, fail_frames=()):
     return wrapper, orig
 
 
+@pytest.mark.slow
 def test_fused_pure_icp_loop_closure_drops_ate(base_args):
     """The fused pure-ICP path (no ORB backend — bench/Replica configs) with
     ``loop_closure_pure_icp`` on: injected odometry drift on a revisiting
@@ -360,6 +361,7 @@ def test_fused_pure_icp_relocalization(base_args):
     assert err_on < 0.01, err_on  # recovered to within 1 cm
 
 
+@pytest.mark.slow
 def test_update_poses_propagates_correction(base_args, synthetic_cams):
     """After a closure, mapper.update_poses must re-pose its frame memory and
     keyframes to the corrected trajectory and keep rendering consistent."""

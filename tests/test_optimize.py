@@ -1,5 +1,6 @@
 """Fused optimize-loop behavior tests (CPU)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -27,6 +28,7 @@ def _problem():
     return state, frames, settings, lrs, hyper
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_iterations():
     state, frames, settings, lrs, hyper = _problem()
     # the tiny problem's default gt color exactly matches the zero-SH render
@@ -43,6 +45,7 @@ def test_loss_decreases_over_iterations():
     assert float(report30["color"]) < float(report1["color"])
 
 
+@pytest.mark.slow
 def test_update_mask_freezes_rows():
     state, frames, settings, lrs, hyper = _problem()
     # promote half the alive rows to STABLE; only UNSTABLE rows may move
@@ -72,6 +75,7 @@ def test_confidence_grows_only_for_touched_rows():
     assert np.all(dc[~um] == 0)
 
 
+@pytest.mark.slow
 def test_dynamic_iteration_count_no_retrace():
     """n_iters is a traced bound: different counts reuse one executable."""
     state, frames, settings, lrs, hyper = _problem()
@@ -83,6 +87,7 @@ def test_dynamic_iteration_count_no_retrace():
         assert np.isfinite(np.asarray(out.xyz)).all()
 
 
+@pytest.mark.slow
 def test_freeze_binning_quality():
     """optimize_freeze_binning (sort/bin once per call) must (a) be EXACTLY
     the per-iteration path when parameters don't move (zero lr), and (b)
@@ -122,6 +127,7 @@ def test_freeze_binning_quality():
     assert float(r_f["total"]) <= 1.5 * float(r_e["total"]) + 1e-4
 
 
+@pytest.mark.slow
 def test_compact_matches_freeze():
     """The two-stage compact path (optimize_prepare -> optimize_execute with
     host-picked static buckets) must reproduce the freeze_binning path's

@@ -37,6 +37,7 @@ def _setup(seed=0, n_alive=24, H=64, W=96, Kt=128):
     return feat, order, bins, origins, tile_feat, tile_gidx, st
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 3])
 def test_pallas_matches_xla(seed):
     feat, order, bins, origins, tile_feat, tile_gidx, st = _setup(seed=seed)
@@ -62,6 +63,7 @@ def test_pallas_empty_tiles():
     assert np.all(np.asarray(out.depth_index) == -1)
 
 
+@pytest.mark.slow
 def test_use_pallas_flag_in_render_api():
     """`use_pallas_blend` selects the Pallas kernel for inference renders
     through the product API and matches the XLA path."""
@@ -86,6 +88,7 @@ def test_use_pallas_flag_in_render_api():
                        np.asarray(ref["render"]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_fused_vjp_matches_xla_fused():
     """Pallas forward+backward fused VJP == XLA fused VJP on values and
     gradients of a color/depth/T loss (interpreter mode)."""

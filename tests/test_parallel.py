@@ -9,12 +9,14 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     from rtgslam_tpu.parallel import dryrun_multichip
 
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dp_step_matches_single_device():
     """A 2-device frame-parallel step equals the single-mesh step on the
     same two frames (pmean of grads == mean over the frame batch)."""
@@ -67,6 +69,7 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(out[0])).all()
 
 
+@pytest.mark.slow
 def test_dp_local_optimize_matches_single_chip():
     """With every device holding the SAME memory frame, the pmean'd DP local
     step (incl. per-device unstable-pool mask render and history merge) must
@@ -109,6 +112,7 @@ def test_dp_local_optimize_matches_single_chip():
     assert not np.allclose(np.asarray(dp_state.xyz), np.asarray(state.xyz))
 
 
+@pytest.mark.slow
 def test_dp_global_optimize_matches_single_chip():
     """With every device holding the SAME keyframe, the pmean'd DP global
     step must equal the single-chip optimize_chain(mode='global') whose
@@ -147,6 +151,7 @@ def test_dp_global_optimize_matches_single_chip():
                        np.asarray(ref_state.opacity), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_global_optimize_depth_mask_matches_single_chip():
     """mask_depth_positive (ScanNet++ invalid-depth exclusion, reference
     mapper.py:419-420) must behave identically on the mesh path and the

@@ -90,6 +90,7 @@ def reference_blend(g, cam, st):
     return color, depth, didx, T_map
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("differentiable", [False, True])
 def test_blend_matches_bruteforce(differentiable):
     g, cam, st = make_scene()
@@ -143,6 +144,7 @@ def test_tile_mask_skips_tiles():
                        atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_finite_and_localized():
     g, cam, st = make_scene()
 
@@ -160,6 +162,7 @@ def test_gradients_finite_and_localized():
         assert np.all(dead == 0), f"dead gaussians got {k} gradient"
 
 
+@pytest.mark.slow
 def test_finite_difference_gradcheck():
     """Color-vs-xyz gradient against central differences."""
     g, cam, st = make_scene(n_alive=2, H=32, W=32)
@@ -185,6 +188,7 @@ def test_finite_difference_gradcheck():
     assert rel_errs[-1] < 0.25, rel_errs
 
 
+@pytest.mark.slow
 def test_fused_vjp_matches_scan_path():
     """blend_tiles_fused (custom VJP, early exit) must agree with the
     scan+checkpoint autodiff path on values AND gradients of a loss over
@@ -240,6 +244,7 @@ def test_render_empty_map():
     assert np.all(np.asarray(out["T_map"]) == 1)
 
 
+@pytest.mark.slow
 def test_overflow_reported_when_capacity_undersized():
     """Undersized per-tile capacity must be observable, not silent."""
     g, cam, st = make_scene(P=128, n_alive=64, H=32, W=32)
@@ -258,6 +263,7 @@ def test_overflow_reported_when_capacity_undersized():
     assert int(out_big["overflow"]) == 0
 
 
+@pytest.mark.slow
 def test_capacity_invariance_when_no_overflow():
     """Renders must be bit-identical across block/tile/max_visible capacity
     choices whenever bin_overflow == 0 — the invariant that lets bench.py

@@ -138,6 +138,7 @@ def test_fake_pose_backend_roundtrip():
     assert np.allclose(poses[-1][:3, 3], [0.02, 0, 0], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ref_limit_bucket_prewarm(base_args, synthetic_cams):
     """When map occupancy passes 3/4 of the current KNN ref_limit bucket,
     the mapper must prewarm the next bucket's executable in the background
@@ -167,6 +168,7 @@ def test_ref_limit_bucket_prewarm(base_args, synthetic_cams):
     assert mapper.get_unstable_num + mapper.get_stable_num > 0
 
 
+@pytest.mark.slow
 def test_overflow_tracked_across_run(base_args, synthetic_cams):
     """Mapper.max_overflow folds the per-frame render overflow counter
     (async, no extra dispatch) and stays 0 at healthy capacities."""

@@ -7,6 +7,10 @@ from rtgslam_tpu.ops.rasterize import render
 from rtgslam_tpu.parallel import make_mesh
 from rtgslam_tpu.parallel.sp_render import sp_render
 
+import pytest
+
+pytestmark = pytest.mark.slow  # both tests compile sharded renders (75-800 s)
+
 
 def test_sp_render_matches_single():
     import sys, os

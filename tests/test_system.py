@@ -74,6 +74,7 @@ def test_pipelined_system(tmp_path, base_args, sync):
     assert len(evals) >= 2, evals
 
 
+@pytest.mark.slow
 def test_pipelined_system_two_devices(tmp_path, base_args):
     """device_list with two entries places the mapper on devices[0] and the
     tracker on devices[1]; frame maps and map snapshots cross chips via
