@@ -304,13 +304,23 @@ inline double pair_err(const Mat4& T, const Vec3& a, const Vec3& b) {
 
 // Match ref corners into the current frame and solve T_ref<-cur such that
 // P_ref ~= T * P_cur.  Returns false when tracking is not trustworthy.
+// When inlier_ref/inlier_cur are given, the consensus-set 3D pairs (camera
+// coordinates of each frame) are written out — the windowed-refinement
+// observations (see Backend::window_refine).
 bool feature_track(const Camera& cam, const RefFrame& ref,
                    const std::vector<float>& gray,
                    const std::vector<float>& depth, Mat4& T_ref_cur,
-                   int* n_inliers_out) {
+                   int* n_inliers_out,
+                   std::vector<Vec3>* inlier_ref = nullptr,
+                   std::vector<Vec3>* inlier_cur = nullptr,
+                   const std::vector<Corner>* cur_corners = nullptr) {
   if (!cam.valid || !ref.valid) return false;
-  std::vector<Corner> cur;
-  shi_tomasi(gray, cam.W, cam.H, cur);
+  std::vector<Corner> cur_local;
+  if (cur_corners == nullptr) {
+    shi_tomasi(gray, cam.W, cam.H, cur_local);
+    cur_corners = &cur_local;
+  }
+  const std::vector<Corner>& cur = *cur_corners;
   if (cur.size() < 16 || ref.corners.size() < 16) return false;
 
   const int radius = std::max(cam.W, cam.H) / 6;
@@ -367,8 +377,76 @@ bool feature_track(const Camera& cam, const RefFrame& ref,
   if (tight.size() >= 6) horn_align(pc, pr, tight, T);
   T_ref_cur = T;
   if (n_inliers_out) *n_inliers_out = static_cast<int>(best_inliers.size());
+  if (inlier_ref && inlier_cur) {
+    inlier_ref->clear();
+    inlier_cur->clear();
+    const std::vector<int>& keep = tight.size() >= 6 ? tight : best_inliers;
+    // subsample to bound the window-GN residual count
+    const int max_pairs = 60;
+    const int stride = std::max<size_t>(1, keep.size() / max_pairs);
+    for (size_t k = 0; k < keep.size(); k += stride) {
+      inlier_ref->push_back(pr[keep[k]]);
+      inlier_cur->push_back(pc[keep[k]]);
+    }
+  }
   return true;
 }
+
+// ---------------------------------------------------------------------------
+// Windowed refinement ("local BA" role, reference tracker.py:225-241: the
+// ORB-SLAM2 backend refines recent non-loop poses with windowed BA).  RGBD
+// gives every matched feature a depth, so the landmark block of classic BA
+// is eliminated analytically: each cross-frame feature match (p_i, p_j) in
+// camera coordinates contributes a 3D alignment residual
+//     r = (R_i p_i + t_i) - (R_j p_j + t_j)
+// and Gauss-Newton runs over the last WINDOW camera poses only (older poses
+// fixed, first window pose gauge-fixed).  Left-perturbation Jacobians:
+//     d r / d (dw_i, dt_i) = [ -[R_i p_i + t_i]x , I ],  negated for j.
+// ---------------------------------------------------------------------------
+
+struct PairObs {
+  int i, j;                   // global pose indices (i older)
+  std::vector<Vec3> pi, pj;   // matched camera-frame points
+  double weight;
+};
+
+inline Vec3 xform(const Mat4& T, const Vec3& p) {
+  return {T.m[0] * p.x + T.m[1] * p.y + T.m[2] * p.z + T.m[3],
+          T.m[4] * p.x + T.m[5] * p.y + T.m[6] * p.z + T.m[7],
+          T.m[8] * p.x + T.m[9] * p.y + T.m[10] * p.z + T.m[11]};
+}
+
+// dense symmetric solve (Gaussian elimination with partial pivoting)
+bool solve_dense(std::vector<double>& A, std::vector<double>& b, int n) {
+  for (int col = 0; col < n; ++col) {
+    int piv = col;
+    for (int r = col + 1; r < n; ++r)
+      if (std::fabs(A[r * n + col]) > std::fabs(A[piv * n + col])) piv = r;
+    if (std::fabs(A[piv * n + col]) < 1e-12) return false;
+    if (piv != col) {
+      for (int k = 0; k < n; ++k) std::swap(A[col * n + k], A[piv * n + k]);
+      std::swap(b[col], b[piv]);
+    }
+    const double d = A[col * n + col];
+    for (int r = col + 1; r < n; ++r) {
+      const double f = A[r * n + col] / d;
+      if (f == 0.0) continue;
+      for (int k = col; k < n; ++k) A[r * n + k] -= f * A[col * n + k];
+      b[r] -= f * b[col];
+    }
+  }
+  for (int r = n - 1; r >= 0; --r) {
+    double s = b[r];
+    for (int k = r + 1; k < n; ++k) s -= A[r * n + k] * b[k];
+    b[r] = s / A[r * n + r];
+  }
+  return true;
+}
+
+struct WinFrame {
+  int pose_idx = -1;
+  RefFrame f;                    // gray/depth/corners reused (c2w unused)
+};
 
 struct Backend {
   std::mutex mu;
@@ -381,10 +459,22 @@ struct Backend {
 
   Camera cam;
   RefFrame ref;                  // last tracked frame (feature reference)
+  int ref_idx = -1;              // pose index of `ref` (window refinement
+                                 // may move poses after ref.c2w was copied)
   bool last_track_ok = false;
   int last_inliers = 0;
 
+  // windowed refinement (see PairObs block comment)
+  bool wba_enable = true;
+  int wba_window = 5;            // poses refined together
+  int wba_every = 2;             // run GN every N tracked frames
+  int wba_iters = 4;
+  std::vector<WinFrame> window;  // recent frames with features (<= window)
+  std::vector<PairObs> obs;      // cross-frame matches inside the window
+
   void relax(int iterations);
+  void window_observe(const Mat4& pose);
+  void window_refine();
 
   // refresh the feature reference frame from raw sensor data
   void store_ref(const uint8_t* color, const uint16_t* depth,
@@ -398,6 +488,146 @@ struct Backend {
     ref.valid = true;
   }
 };
+
+// Push the freshly tracked frame (already in `ref`) into the window, match
+// it against the previous window frames to harvest PairObs, and run the
+// windowed GN every `wba_every` frames.
+void Backend::window_observe(const Mat4& pose) {
+  if (!wba_enable || !cam.valid || !ref.valid) return;
+  const int idx = static_cast<int>(poses.size()) - 1;
+
+  WinFrame wf;
+  wf.pose_idx = idx;
+  wf.f = ref;                    // copy: ref is refreshed per frame anyway
+  wf.f.c2w = pose;
+
+  // match against up to two non-adjacent window frames (the adjacent
+  // relative pose is already well constrained by ICP odometry; skipping a
+  // frame adds baseline) — newest first
+  int matched = 0;
+  for (int k = static_cast<int>(window.size()) - 2;
+       k >= 0 && matched < 2; k -= 2) {
+    const WinFrame& prev = window[k];
+    Mat4 T_prev_cur;
+    int n_inl = 0;
+    std::vector<Vec3> p_prev, p_cur;
+    if (feature_track(cam, prev.f, ref.gray, ref.depth, T_prev_cur, &n_inl,
+                      &p_prev, &p_cur, &ref.corners)) {
+      PairObs o;
+      o.i = prev.pose_idx;
+      o.j = idx;
+      o.pi = std::move(p_prev);
+      o.pj = std::move(p_cur);
+      o.weight = 1.0;
+      obs.push_back(std::move(o));
+      ++matched;
+    }
+  }
+
+  window.push_back(std::move(wf));
+  while (static_cast<int>(window.size()) > wba_window) window.erase(window.begin());
+  const int lo = window.front().pose_idx;
+  obs.erase(std::remove_if(obs.begin(), obs.end(),
+                           [lo](const PairObs& o) { return o.i < lo; }),
+            obs.end());
+
+  if (!obs.empty() && idx % wba_every == 0) window_refine();
+}
+
+// Gauss-Newton over the window poses (first window pose fixed as gauge);
+// 3D-3D alignment residuals from PairObs, LM-damped, <=24 free dims.
+void Backend::window_refine() {
+  const int W = static_cast<int>(window.size());
+  if (W < 2) return;
+  const int lo = window.front().pose_idx;   // fixed
+  const int nfree = W - 1;
+  const int dim = 6 * nfree;
+  auto slot = [&](int pose_idx) {           // -> free-var base or -1
+    for (int k = 1; k < W; ++k)
+      if (window[k].pose_idx == pose_idx) return 6 * (k - 1);
+    return -1;
+  };
+
+  for (int it = 0; it < wba_iters; ++it) {
+    std::vector<double> H(dim * dim, 0.0), g(dim, 0.0);
+    double total_err = 0.0;
+    int total_res = 0;
+    for (const auto& o : obs) {
+      if (o.i < lo || o.j >= static_cast<int>(poses.size())) continue;
+      const int si = o.i == lo ? -1 : slot(o.i);
+      const int sj = slot(o.j);
+      if (sj < 0 && si < 0) continue;
+      const Mat4& Ti = poses[o.i];
+      const Mat4& Tj = poses[o.j];
+      const double w = o.weight;
+      for (size_t k = 0; k < o.pi.size(); ++k) {
+        const Vec3 qi = xform(Ti, o.pi[k]);
+        const Vec3 qj = xform(Tj, o.pj[k]);
+        const double r[3] = {qi.x - qj.x, qi.y - qj.y, qi.z - qj.z};
+        const double e2 = r[0] * r[0] + r[1] * r[1] + r[2] * r[2];
+        // Huber-style gate: matches that moved > 10 cm are outliers
+        const double rw = w * (e2 < 0.01 ? 1.0 : 0.01 / e2);
+        total_err += rw * e2;
+        total_res += 3;
+        // J blocks: for i, d r = [-[qi]x | I] (dw, dt); for j, negated
+        // with qj.  Accumulate JtJ / Jtg directly (rows = 3 residuals).
+        struct Block { int base; double s; const Vec3* q; };
+        Block blocks[2];
+        int nb = 0;
+        if (si >= 0) blocks[nb++] = {si, 1.0, &qi};
+        if (sj >= 0) blocks[nb++] = {sj, -1.0, &qj};
+        // residual row derivative entries, for axis a (row) and var v:
+        // dw part: -s * [q]x  -> J[a][w] = -s * eps(a, w) style; build
+        // explicit 3x6 per block
+        double J[2][3][6];
+        for (int b = 0; b < nb; ++b) {
+          const double qx = blocks[b].q->x, qy = blocks[b].q->y,
+                       qz = blocks[b].q->z;
+          const double s = blocks[b].s;
+          const double skew[3][3] = {{0, -qz, qy}, {qz, 0, -qx}, {-qy, qx, 0}};
+          for (int a = 0; a < 3; ++a) {
+            for (int c = 0; c < 3; ++c) {
+              J[b][a][c] = -s * skew[a][c];               // d/d dw
+              J[b][a][3 + c] = (a == c) ? s : 0.0;        // d/d dt
+            }
+          }
+        }
+        for (int a = 0; a < 3; ++a) {
+          for (int b1 = 0; b1 < nb; ++b1)
+            for (int c1 = 0; c1 < 6; ++c1) {
+              const double Jv = J[b1][a][c1];
+              if (Jv == 0.0) continue;
+              g[blocks[b1].base + c1] -= rw * Jv * r[a];
+              for (int b2 = 0; b2 < nb; ++b2)
+                for (int c2 = 0; c2 < 6; ++c2)
+                  H[(blocks[b1].base + c1) * dim + blocks[b2].base + c2] +=
+                      rw * Jv * J[b2][a][c2];
+            }
+        }
+      }
+    }
+    if (total_res < 18) return;
+    // LM damping relative to the diagonal scale
+    double dmax = 1e-9;
+    for (int d = 0; d < dim; ++d) dmax = std::max(dmax, H[d * dim + d]);
+    for (int d = 0; d < dim; ++d) H[d * dim + d] += 1e-4 * dmax + 1e-9;
+    if (!solve_dense(H, g, dim)) return;
+    // cap the step (a bad linearization must not explode the window)
+    double step2 = 0.0;
+    for (int d = 0; d < dim; ++d) step2 += g[d] * g[d];
+    const double cap = 0.25;  // metres / radians combined
+    const double scale = step2 > cap * cap ? cap / std::sqrt(step2) : 1.0;
+    for (int k = 1; k < W; ++k) {
+      const int base = 6 * (k - 1);
+      double dw[3] = {scale * g[base], scale * g[base + 1],
+                      scale * g[base + 2]};
+      double dt[3] = {scale * g[base + 3], scale * g[base + 4],
+                      scale * g[base + 5]};
+      Mat4 delta = so3_exp_with_t(dw, dt);
+      poses[window[k].pose_idx] = matmul(delta, poses[window[k].pose_idx]);
+    }
+  }
+}
 
 // Pose-graph relaxation: odometry chain constraints (consecutive poses,
 // derived from the current estimate at loop-insert time) + loop constraints,
@@ -503,6 +733,8 @@ void pb_process_image_rgbd(void* h, const uint8_t* color,
   b->poses.push_back(Mat4::identity());
   b->stamps.push_back(timestamp);
   b->store_ref(color, depth, b->poses.back());
+  if (b->ref.valid) b->ref_idx = static_cast<int>(b->poses.size()) - 1;
+  b->window_observe(b->poses.back());
 }
 
 // pose_rel: row-major 4x4 float32, T_{prev<-curr}
@@ -521,6 +753,8 @@ void pb_track_with_icp_pose(void* h, const uint8_t* color,
   // matches against the most recent good view (reference keeps ORB state
   // per frame the same way)
   b->store_ref(color, depth, b->poses.back());
+  if (b->ref.valid) b->ref_idx = static_cast<int>(b->poses.size()) - 1;
+  b->window_observe(b->poses.back());
 }
 
 // Pure feature tracking: the ICP-failure fallback (reference
@@ -541,13 +775,22 @@ void pb_track_with_orb_feature(void* h, const uint8_t* color,
     Mat4 T_ref_cur;
     if (feature_track(b->cam, b->ref, gray, depth_m, T_ref_cur,
                       &b->last_inliers)) {
-      pose = matmul(b->ref.c2w, T_ref_cur);
+      // base pose read from the trajectory (window refinement may have
+      // moved it since ref.c2w was copied)
+      const Mat4 base = (b->ref_idx >= 0 &&
+                         b->ref_idx < static_cast<int>(b->poses.size()))
+                            ? b->poses[b->ref_idx] : b->ref.c2w;
+      pose = matmul(base, T_ref_cur);
       b->last_track_ok = true;
     }
   }
   b->poses.push_back(pose);
   b->stamps.push_back(timestamp);
-  if (b->last_track_ok) b->store_ref(color, depth, pose);
+  if (b->last_track_ok) {
+    b->store_ref(color, depth, pose);
+    if (b->ref.valid) b->ref_idx = static_cast<int>(b->poses.size()) - 1;
+    b->window_observe(pose);
+  }
 }
 
 int pb_last_track_ok(void* h) {
@@ -560,6 +803,18 @@ int pb_last_track_inliers(void* h) {
   auto* b = static_cast<Backend*>(h);
   std::lock_guard<std::mutex> g(b->mu);
   return b->last_inliers;
+}
+
+// Windowed-refinement knobs (enable, window size, cadence, GN iterations);
+// pass -1 to keep a value.  Default: enabled, window 5, every 2, 4 iters.
+void pb_set_window_ba(void* h, int enable, int window, int every, int iters) {
+  auto* b = static_cast<Backend*>(h);
+  std::lock_guard<std::mutex> g(b->mu);
+  if (enable >= 0) b->wba_enable = enable != 0;
+  if (window >= 2) b->wba_window = window;
+  if (every >= 1) b->wba_every = every;
+  if (iters >= 1) b->wba_iters = iters;
+  if (!b->wba_enable) { b->window.clear(); b->obs.clear(); }
 }
 
 // T_ij: row-major 4x4 float64 measured relative pose between frames i and j.

@@ -34,6 +34,8 @@ class NativePoseBackend:
                                        ctypes.c_double],
             "pb_track_with_orb_feature": [ctypes.c_void_p, ctypes.c_void_p,
                                           ctypes.c_void_p, ctypes.c_double],
+            "pb_set_window_ba": [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_int, ctypes.c_int],
             "pb_add_loop_constraint": [ctypes.c_void_p, ctypes.c_int,
                                        ctypes.c_int,
                                        ctypes.POINTER(ctypes.c_double),
@@ -69,6 +71,15 @@ class NativePoseBackend:
 
     def shutdown(self) -> None:
         self._lib.pb_shutdown(self._h)
+
+    def set_window_ba(self, enable: bool, window: int = -1,
+                      every: int = -1, iters: int = -1) -> None:
+        """Windowed refinement of recent poses over cross-frame feature
+        tracks (the local-BA role of the reference backend, reference
+        tracker.py:225-241; native/pose_backend.cc::window_refine).  Pass
+        -1 to keep a knob's current value."""
+        self._lib.pb_set_window_ba(self._h, int(enable), int(window),
+                                   int(every), int(iters))
 
     def set_camera(self, K: np.ndarray, width: int, height: int,
                    depth_scale: float = 1000.0) -> None:

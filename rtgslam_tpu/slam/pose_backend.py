@@ -185,6 +185,10 @@ def create_backend(args):
         from .native_backend import NativePoseBackend
 
         backend = NativePoseBackend(lib, args.orb_vocab_path, args.orb_settings_path)
+        # windowed refinement of recent poses (the local-BA role of the
+        # reference's ORB-SLAM2 backend, tracker.py:225-241); on by default,
+        # orb_window_ba: False disables
+        backend.set_window_ba(getattr(args, "orb_window_ba", True))
     else:
         backend = FakePoseBackend(args.orb_vocab_path, args.orb_settings_path)
     backend.set_use_viewer(False)

@@ -268,6 +268,15 @@ class Tracker:
                 self.curr_frame["color_u8"], self.curr_frame["depth_u16"],
                 self.curr_frame["timestamp"])
         rows = self.orb_backend.get_trajectory_points()
+        # the backend's windowed refinement (native pose_backend.cc
+        # window_refine) may have moved RECENT poses, not just appended one —
+        # adopt the refreshed tail so ATE/trajectory exports see the refined
+        # history (the mapper gets it via get_new_poses either way)
+        tail_n = min(len(self.pose_es), 8)
+        if tail_n:
+            tail, _ = convert_poses(rows[-(tail_n + 1):-1])
+            for k, p in enumerate(tail):
+                self.pose_es[len(self.pose_es) - len(tail) + k] = p
         poses, _ = convert_poses(rows[-1:])
         return poses[-1]
 
