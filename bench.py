@@ -15,6 +15,13 @@ resolution/frames are tunable via env:
                     larger frames; raise on real hardware)
   BENCH_FRAMES      frames         (default 40)
   BENCH_WARMUP      frames excluded from timing (default 12, covers jit)
+  BENCH_REPS        full fresh-state passes (default 3); headline = median
+                    rep's wedge-filtered reference-rule fps, spread published
+
+Quality floors (psnr >= 27.5, ate_cm <= 0.5, bin_overflow == 0) fail the
+bench with exit 2 so approximation levers cannot silently trade quality for
+speed.  `device_mapping_ms` = median stage wall minus the measured dispatch
+floor (one tunnel round trip per stage; see dispatch_floor_ms).
 
 The measurement runs in a subprocess and retries after TPU-worker crashes
 (the axon tunnel restarts its worker sporadically).
@@ -84,26 +91,33 @@ def make_args(H, W, env_overrides=True):
     return args, opt
 
 
-def main():
-    if os.environ.get("BENCH_PLATFORM"):
-        # smoke-test backend override (e.g. cpu while the tunnel is down);
-        # env JAX_PLATFORMS is ignored by the axon plugin — only the
-        # in-process config update works (CLAUDE.md)
-        import jax
-        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
-    H = int(os.environ.get("BENCH_H", 170))
-    W = int(os.environ.get("BENCH_W", 300))
-    n_frames = int(os.environ.get("BENCH_FRAMES", 40))
-    warmup = int(os.environ.get("BENCH_WARMUP", 12))
+WEDGE_S = 10.0
 
-    from rtgslam_tpu.data.synthetic import make_cameras
+
+def dispatch_floor_ms(reps: int = 7) -> float:
+    """Median round-trip of a tiny dispatch+fetch — the tunnel's per-call
+    latency (29-34 ms here, ~us on local silicon).  `block_until_ready` is a
+    no-op on axon, so completion is forced by np.asarray (CLAUDE.md); the
+    per-frame stage walls below each include exactly one such round trip."""
+    import jax.numpy as jnp
+
+    x = jnp.ones((8,), jnp.float32)
+    np.asarray(x + 1)   # warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        np.asarray(x + 1.0)
+        ts.append(time.time() - t0)
+    return float(np.median(ts) * 1e3)
+
+
+def run_rep(args, opt, cams, warmup):
+    """One full tracking+mapping pass over the sequence with fresh state.
+    Returns (track_times, map_times, tracker, mapper)."""
     from rtgslam_tpu.slam import Mapper, Tracker
 
-    args, opt = make_args(H, W)
-    cams = make_cameras(n_frames=n_frames, H=H, W=W)
     tracker = Tracker(args)
     mapper = Mapper(args)
-
     track_times, map_times = [], []
     for i, cam in enumerate(cams):
         t0 = time.time()
@@ -121,24 +135,59 @@ def main():
         if i >= warmup:
             track_times.append(t1 - t0)
             map_times.append(t2 - t1)
+    return track_times, map_times, tracker, mapper
+
+
+def main():
+    if os.environ.get("BENCH_PLATFORM"):
+        # smoke-test backend override (e.g. cpu while the tunnel is down);
+        # env JAX_PLATFORMS is ignored by the axon plugin — only the
+        # in-process config update works (CLAUDE.md)
+        import jax
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    H = int(os.environ.get("BENCH_H", 170))
+    W = int(os.environ.get("BENCH_W", 300))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 40))
+    warmup = int(os.environ.get("BENCH_WARMUP", 12))
+    n_reps = int(os.environ.get("BENCH_REPS", 3))
+
+    from rtgslam_tpu.data.synthetic import make_cameras
+
+    args, opt = make_args(H, W)
+    cams = make_cameras(n_frames=n_frames, H=H, W=W)
+
+    floor_ms = dispatch_floor_ms()
+
+    # >=3 reps with fresh map state (executables stay warm after rep 1);
+    # the published spread separates tunnel noise from real regressions
+    # (VERDICT r4 weak #2: a single rep's reference-rule mean was
+    # tunnel-noise-dominated).
+    rep_fps, rep_map_med, rep_track_med = [], [], []
+    map_times = track_times = None
+    tracker = mapper = None
+    for _ in range(max(1, n_reps)):
+        track_times, map_times, tracker, mapper = run_rep(
+            args, opt, cams, warmup)
+        kept_r = [t for t in map_times if t < WEDGE_S]
+        rep_fps.append(1.0 / float(np.mean(kept_r)) if kept_r else 0.0)
+        rep_map_med.append(float(np.median(map_times)) * 1e3)
+        rep_track_med.append(float(np.median(track_times)) * 1e3)
 
     mean_mapping = float(np.mean(map_times))
     mean_tracking = float(np.mean(track_times))
-    med_mapping = float(np.median(map_times))
-    med_tracking = float(np.median(track_times))
+    med_mapping = float(np.median(rep_map_med)) / 1e3
+    med_tracking = float(np.median(rep_track_med)) / 1e3
     # Headline fps follows the reference rule fps = 1 / mean(mapping time)
-    # (monitor.py:22-24), with ONE documented adjustment: frames that hit a
-    # tunnel wedge (the axon worker parks for 30-60 s, CLAUDE.md) are
-    # dropped before the mean.  The 10 s threshold is unambiguous — no real
-    # mapping frame at this size is within 10x of it (optimize frames are
-    # ~0.5 s) — and on hardware without wedges zero frames are dropped, so
-    # the headline IS the reference rule there by construction.  The
-    # unfiltered mean-rule figure is reported alongside in `detail`.
-    WEDGE_S = 10.0
+    # (monitor.py:22-24), with TWO documented adjustments: (a) frames that
+    # hit a tunnel wedge (the axon worker parks for 30-60 s, CLAUDE.md) are
+    # dropped before the mean — the 10 s threshold is unambiguous (no real
+    # mapping frame at this size is within 10x of it), and on hardware
+    # without wedges zero frames are dropped; (b) the headline is the MEDIAN
+    # across reps, so one wedge-scarred rep cannot swing it.  The unfiltered
+    # single-rep mean-rule figure is reported alongside in `detail`.
     kept = [t for t in map_times if t < WEDGE_S]
     n_wedged = len(map_times) - len(kept)
-    mean_mapping_kept = float(np.mean(kept)) if kept else mean_mapping
-    fps = 1.0 / mean_mapping_kept if mean_mapping_kept > 0 else 0.0
+    fps = float(np.median(rep_fps))
     ate = tracker.eval_ate()
 
     from rtgslam_tpu.slam.eval import eval_frame
@@ -147,17 +196,30 @@ def main():
     # run-wide high-water mark, not just the eval frame's render
     overflow = max(int(mapper.max_overflow), int(metrics.get("bin_overflow", 0)))
 
+    # device-time estimate: each stage wall includes exactly ONE dispatch
+    # round trip (2 dispatches + 1 fetch per steady-state frame, PERF.md),
+    # so median wall minus the measured floor bounds device execution from
+    # above.  Reported next to the reference rule, not instead of it.
+    dev_map_ms = max(0.0, med_mapping * 1e3 - floor_ms)
+    dev_track_ms = max(0.0, med_tracking * 1e3 - floor_ms)
+
     result = {
         "metric": "synthetic_room_online_mapping_fps",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
         "detail": {
-            "H": H, "W": W, "frames": n_frames,
+            "H": H, "W": W, "frames": n_frames, "reps": max(1, n_reps),
+            "rep_fps": [round(f, 3) for f in rep_fps],
+            "rep_median_mapping_ms": [round(m, 2) for m in rep_map_med],
             "mean_tracking_ms": round(mean_tracking * 1e3, 2),
             "mean_mapping_ms": round(mean_mapping * 1e3, 2),
             "median_tracking_ms": round(med_tracking * 1e3, 2),
             "median_mapping_ms": round(med_mapping * 1e3, 2),
+            "dispatch_floor_ms": round(floor_ms, 2),
+            "device_mapping_ms": round(dev_map_ms, 2),
+            "device_tracking_ms": round(dev_track_ms, 2),
+            "device_fps": round(1e3 / dev_map_ms, 3) if dev_map_ms > 0 else 0.0,
             "fps_reference_mean_rule": round(
                 1.0 / mean_mapping if mean_mapping > 0 else 0.0, 3),
             "fps_median_rule": round(
@@ -176,12 +238,22 @@ def main():
     if perf.ENABLED:
         result["detail"]["perf"] = perf.report()
     print(json.dumps(result))
+    # Quality floors (VERDICT r4 weak #5): approximation levers must not
+    # silently trade quality for speed.  Deterministic failures -> exit 2
+    # (the retry wrapper aborts instead of retrying).
+    gates = []
     if overflow:
-        # Overflow means the static tile/block capacities silently dropped
-        # gaussians: the numbers above are not trustworthy.  Fail loudly
-        # (deterministic — the retry wrapper aborts instead of retrying).
-        sys.stderr.write(f"[bench] FATAL: bin_overflow={overflow} != 0 — "
-                         "undersized tile/block capacity\n")
+        gates.append(f"bin_overflow={overflow} != 0 (undersized tile/block "
+                     "capacity — numbers not trustworthy)")
+    # psnr/ate floors are calibrated at the default operating point; env
+    # overrides (exploratory sizes) keep only the overflow gate
+    at_default = (H, W, n_frames) == (170, 300, 40)
+    if at_default and float(metrics["psnr"]) < 27.5:
+        gates.append(f"psnr={float(metrics['psnr']):.2f} < 27.5")
+    if at_default and float(ate) > 0.5:
+        gates.append(f"ate_cm={float(ate):.3f} > 0.5")
+    if gates:
+        sys.stderr.write("[bench] FATAL quality gate: " + "; ".join(gates) + "\n")
         sys.exit(2)
 
 
