@@ -160,7 +160,10 @@ def _loss_fn_compact(params_c: Dict[str, jnp.ndarray], aux, frame,
     }
     out = render_compact.__wrapped__(
         gauss_c, frame["tile_lists_c"], frame["tile_counts_c"],
-        frame["w2c"], frame["K"], frame["campos"], settings)
+        frame["w2c"], frame["K"], frame["campos"], settings,
+        tile_rows=frame.get("tile_rows"),
+        tile_origins=frame.get("tile_origins"),
+        n_tiles_full=frame.get("n_tiles_full"))
 
     color_loss, depth_loss, normal_loss = _image_losses(out, frame, hyper)
     attach_loss = _attach_loss(params_c, aux, hyper)
@@ -327,11 +330,12 @@ def optimize_prepare(
 
     Returns (rmasks [F,H,W], tiles [F,ty,tx], lists_orig [F,T,Kt] — tile
     lists in ORIGINAL slot space (sentinel = capacity), tile_counts [F,T],
-    pool_order [L], n_pool [], cnt_max []).  Slot-space lists keep
-    :func:`optimize_execute`'s signature independent of ``row_limit``, so
-    high-water-mark bucket crossings recompile only this (cheaper) stage.
-    The host fetches only the two scalars (one small D2H round trip on the
-    1-in-gaussian_update_frame optimize frames).
+    pool_order [L], tile_order [F,T] — per-frame live-tile-first partition
+    of the tile axis, n_pool [], cnt_max [], n_live_tiles []).  Slot-space
+    lists keep :func:`optimize_execute`'s signature independent of
+    ``row_limit``, so high-water-mark bucket crossings recompile only this
+    (cheaper) stage.  The host fetches only the three scalars (one small
+    D2H round trip on the 1-in-gaussian_update_frame optimize frames).
     """
     from ..ops.rasterize import binning as binning_mod
     from ..ops.rasterize import blend as blend_mod
@@ -394,8 +398,11 @@ def optimize_prepare(
 
         rmasks, tiles, lists_orig, counts = jax.vmap(per_frame)(
             {"w2c": w2cs, "K": Ks, "campos": camposes}, depths)
+        tile_order = jax.vmap(lambda c: stable_partition_order(c > 0))(counts)
+        n_live_tiles = jnp.max(jnp.sum(counts > 0, axis=1))
         return (rmasks, tiles, lists_orig, counts,
-                pool_order, n_pool, jnp.max(counts))
+                pool_order, tile_order, n_pool, jnp.max(counts),
+                n_live_tiles)
 
     # ---- global mode: masks first, then the frozen binning pass ----------
     cams = {"w2c": w2cs, "K": Ks, "campos": camposes}
@@ -425,17 +432,20 @@ def optimize_prepare(
 
     lists_orig, counts = jax.vmap(make_bins)(
         {"w2c": w2cs, "K": Ks, "campos": camposes}, tiles)
+    tile_order = jax.vmap(lambda c: stable_partition_order(c > 0))(counts)
+    n_live_tiles = jnp.max(jnp.sum(counts > 0, axis=1))
     return (rmasks, tiles, lists_orig, counts,
-            pool_order, n_pool, jnp.max(counts))
+            pool_order, tile_order, n_pool, jnp.max(counts), n_live_tiles)
 
 
 @partial(jax.jit, static_argnames=("settings", "mode", "max_weight",
-                                   "Ac", "Ktc"))
+                                   "Ac", "Ktc", "Tc"))
 def optimize_execute(
     state: MapState,
     colors, depths, normals, w2cs, Ks, camposes,   # stacked [F, ...]
     rmasks,                                        # from optimize_prepare
     lists_orig, counts, pool_rows, n_pool,         # from optimize_prepare
+    tile_rows,                                     # [F, Tc] live-first tiles
     frame_seq: jnp.ndarray,
     n_iters,
     lrs: Dict[str, jnp.ndarray],
@@ -445,6 +455,7 @@ def optimize_execute(
     max_weight: float,
     Ac: int,
     Ktc: int,
+    Tc: Optional[int] = None,
 ):
     """Stage 2 of the compact optimize path: the render->loss->grad->Adam
     loop in POOL-COMPACT space, followed by the local-mode history merge —
@@ -458,12 +469,21 @@ def optimize_execute(
     every real entry remaps; ``pool_rows`` is pool_order already cropped to
     [Ac] by the caller, keeping this signature independent of the prepare
     stage's row_limit).  Updated rows scatter back to the full [P] SoA once
-    at the end.  ``Ac``/``Ktc`` are
-    static host-picked power-of-two buckets with ``Ac >= n_pool`` and
-    ``Ktc >= max(counts)``; under those bounds the math is identical to the
-    freeze_binning path (test_compact_matches_freeze).  Measured slope at
-    the 170x300 bench point: plain 25.0 -> frozen 13.7 -> compact ~5 ms per
-    iteration (OPT_ITER_PROBE.json / OPT_COMPACT_PROBE.json).
+    at the end.  ``Ac``/``Ktc``/``Tc`` are
+    static host-picked power-of-two buckets with ``Ac >= n_pool``,
+    ``Ktc >= max(counts)`` and ``Tc >= max per-frame live-tile count``;
+    under those bounds the math is identical to the freeze_binning path
+    (test_compact_matches_freeze).  ``tile_rows`` ([F, Tc], from prepare's
+    ``tile_order``) compacts the TILE axis the same way ``pool_rows``
+    compacts the row axis: at steady state the local mask leaves only
+    ~15-55 % of tiles with any optimized-pool contribution, yet the
+    vmapped-while blend moves every tile's [256, Ktc] alpha block per joint
+    trip — rendering only the live-tile prefix and scattering outputs back
+    (render_compact tile_rows path) cuts the fwd+bwd blend proportionally.
+    Measured slope at the 170x300 bench point: plain 25.0 -> frozen 13.7 ->
+    pool-compact ~5 ms per iteration (OPT_ITER_PROBE.json /
+    OPT_COMPACT_PROBE.json); tile compaction multiplies the live-tile
+    fraction on top.
     """
     from .map_ops import capture_history, history_merge
     from .gaussian_map import stable_mask, unstable_mask
@@ -496,6 +516,26 @@ def optimize_execute(
     lists_a = inv[lists_orig[:, :, :Ktc]]
     counts_c = jnp.minimum(counts, Ktc)
 
+    # ---- compact the TILE axis (once per call) ----------------------------
+    # At steady state most tiles carry no optimized-pool contribution (the
+    # local mask zeroes their counts — measured live fraction 15-55 % on the
+    # synthetic run), yet a vmapped while_loop still moves every tile's
+    # [256, Ktc] alpha block on every joint trip.  Gather the live-first
+    # tile prefix ([F, Tc], host-bucketed like Ac/Ktc) so the fwd+bwd blend
+    # scales with LIVE tiles; the render scatters tile outputs back to the
+    # full grid (dead tiles = the blend's zero-trip init values, exactly
+    # what the full-grid blend produces for count == 0).
+    from ..ops.rasterize import binning as binning_mod
+
+    H, W = settings.height, settings.width
+    T_full = counts.shape[1]
+    if Tc is None:
+        Tc = T_full
+    trows = tile_rows[:, :Tc]
+    lists_ct = jnp.take_along_axis(lists_a, trows[:, :, None], axis=1)
+    counts_ct = jnp.take_along_axis(counts_c, trows, axis=1)
+    origins_ct = binning_mod.tile_origins(H, W)[trows]
+
     zeros = {k: jnp.zeros_like(v) for k, v in params_c.items()}
 
     def body(i, carry):
@@ -505,8 +545,11 @@ def optimize_execute(
             "color": colors[f], "depth": depths[f], "normal": normals[f],
             "w2c": w2cs[f], "K": Ks[f], "campos": camposes[f],
             "render_mask": rmasks[f],
-            "tile_lists_c": lists_a[f],
-            "tile_counts_c": counts_c[f],
+            "tile_lists_c": lists_ct[f],
+            "tile_counts_c": counts_ct[f],
+            "tile_rows": trows[f],
+            "tile_origins": origins_ct[f],
+            "n_tiles_full": T_full,
         }
         (_, report), grads = jax.value_and_grad(_loss_fn_compact, has_aux=True)(
             params_c, aux, frame, settings, hyper)
@@ -636,5 +679,6 @@ optimize_chain_donated = partial(
 # READS the state — no donation there; its outputs must survive the fetch
 # of the bucket scalars).
 optimize_execute_donated = partial(
-    jax.jit, static_argnames=("settings", "mode", "max_weight", "Ac", "Ktc"),
+    jax.jit,
+    static_argnames=("settings", "mode", "max_weight", "Ac", "Ktc", "Tc"),
     donate_argnames=("state",))(optimize_execute.__wrapped__)

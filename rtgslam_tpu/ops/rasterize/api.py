@@ -488,6 +488,9 @@ def render_compact(
     K: jnp.ndarray,
     campos: jnp.ndarray,
     settings: RasterSettings,
+    tile_rows: Optional[jnp.ndarray] = None,    # [Tc] grid-tile id per row
+    tile_origins: Optional[jnp.ndarray] = None,  # [Tc, 2]
+    n_tiles_full: Optional[int] = None,
 ):
     """Differentiable render over a COMPACT pre-gathered working set.
 
@@ -532,7 +535,8 @@ def render_compact(
         geo.depth, r, g, b,
         gaussians_c["opacity"].reshape(-1), elig.astype(jnp.float32),
     ))
-    origins = binning.tile_origins(H, W)
+    origins = (binning.tile_origins(H, W)
+               if tile_origins is None else tile_origins)
     # compact-space identity index map: entry e -> e, sentinel Vc -> -1
     gidx_pad = jnp.concatenate(
         [jnp.arange(Vc, dtype=jnp.int32), jnp.array([-1], jnp.int32)])
@@ -542,6 +546,30 @@ def render_compact(
         settings.opaque_threshold, settings.T_threshold,
         settings.use_pallas_vjp, settings.pallas_interpret,
     )
+    if tile_rows is not None:
+        # TILE-COMPACT mode (optimize_execute): the rows are a live-first
+        # prefix of the full tile grid; scatter each output back into a
+        # full-grid buffer initialized to the blend's zero-trip carry —
+        # exactly what the full-grid blend produces for count == 0 tiles,
+        # so assembled images are bitwise identical (pinned end-to-end by
+        # test_compact_matches_freeze, which exercises a 16x tile crop).
+        Tf = n_tiles_full
+        npx = blend.TILE * blend.TILE
+
+        def put(init, x):
+            return init.at[tile_rows].set(x, mode="drop")
+
+        tiles = blend.TileOutputs(
+            color=put(jnp.zeros((Tf, npx, 3)), tiles.color),
+            depth=put(jnp.zeros((Tf, npx)), tiles.depth),
+            depth_index=put(jnp.full((Tf, npx), -1, jnp.int32),
+                            tiles.depth_index),
+            color_index=put(jnp.full((Tf, npx), -1, jnp.int32),
+                            tiles.color_index),
+            depth_weight=put(jnp.zeros((Tf, npx)), tiles.depth_weight),
+            color_weight=put(jnp.zeros((Tf, npx)), tiles.color_weight),
+            T_final=put(jnp.ones((Tf, npx)), tiles.T_final),
+        )
     return _assemble_outputs(
         tiles, gaussians_c["normal"], jnp.int32(0), H, W)
 

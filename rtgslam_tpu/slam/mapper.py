@@ -444,23 +444,33 @@ class Mapper:
         return min(b, cap)
 
     def _maybe_prewarm_execute(self, args, statics, Ac, Ktc, n_pool, cmax,
-                               L, Kt) -> None:
-        """Background-compile the NEXT (Ac, Ktc) bucket once occupancy
+                               L, Kt, Tc, n_tiles, T_full) -> None:
+        """Background-compile the NEXT (Ac, Ktc, Tc) bucket once occupancy
         passes 3/4 of the current one (same rationale as
         _maybe_prewarm_bucket: the crossing frame then finds a warm
         compilation cache instead of stalling for the XLA compile)."""
         candidates = []
         if n_pool * 4 > Ac * 3 and Ac * 2 <= L:
-            candidates.append((Ac * 2, Ktc))
+            candidates.append((Ac * 2, Ktc, Tc))
         if cmax * 4 > Ktc * 3 and Ktc * 2 <= Kt:
-            candidates.append((Ac, Ktc * 2))
-        for na, nk in candidates:
-            key = ("exec", na, nk, statics["mode"])
+            candidates.append((Ac, Ktc * 2, Tc))
+        if n_tiles * 4 > Tc * 3 and Tc * 2 <= T_full:
+            candidates.append((Ac, Ktc, min(Tc * 2, T_full)))
+        for na, nk, nt in candidates:
+            key = ("exec", na, nk, nt, statics["mode"])
             if key in self._warmed_buckets:
                 continue
             self._warmed_buckets.add(key)
+            # a Tc change resizes the tile_rows ARG, not just a static
             specs = [self._aval_spec(a) for a in args]
-            st = dict(statics, Ac=na, Ktc=nk)
+            if nt != Tc:
+                import jax
+
+                tr = args[12]   # tile_rows (state, 6x stacked, rmasks,
+                #                lists, counts, pool_rows, n_pool, THIS)
+                specs[12] = jax.ShapeDtypeStruct(
+                    (tr.shape[0], nt), tr.dtype)
+            st = dict(statics, Ac=na, Ktc=nk, Tc=nt)
 
             def warm(specs=specs, st=st):
                 try:
@@ -470,7 +480,7 @@ class Mapper:
                     pass
 
             threading.Thread(target=warm, daemon=True,
-                             name=f"prewarm-exec-{na}-{nk}").start()
+                             name=f"prewarm-exec-{na}-{nk}-{nt}").start()
 
     def _optimize_compact(self, entries, seq, n_iters, lrs, weights, mode,
                           sample_ratio, max_weight):
@@ -504,28 +514,33 @@ class Mapper:
                             mask_depth_positive=mdp, row_limit=L)
         if hwm * 4 > L * 3 and L * 2 <= self.config.capacity:
             self._prewarm_prepare(prep_args, prep_statics, L * 2)
-        (rmasks, tiles, lists_orig, counts, pool_order,
-         n_pool_dev, cnt_max_dev) = optimize.optimize_prepare(
+        (rmasks, tiles, lists_orig, counts, pool_order, tile_order,
+         n_pool_dev, cnt_max_dev, n_tiles_dev) = optimize.optimize_prepare(
             *prep_args, **prep_statics)
-        for dev in (n_pool_dev, cnt_max_dev):
+        for dev in (n_pool_dev, cnt_max_dev, n_tiles_dev):
             if hasattr(dev, "copy_to_host_async"):
                 dev.copy_to_host_async()
         n_pool, cm = int(n_pool_dev), int(cnt_max_dev)
+        n_live_tiles = int(n_tiles_dev)
         Kt = lists_orig.shape[-1]
+        T_full = counts.shape[-1]
         Ac = self._pow2_bucket(n_pool, 256, self.config.capacity)
         Ktc = self._pow2_bucket(cm, 64, Kt)
+        Tc = self._pow2_bucket(n_live_tiles, 32, T_full)
         # crop the compact basis OUTSIDE execute: its executable then
-        # depends only on (Ac, Ktc), not on the prepare stage's row_limit
+        # depends only on (Ac, Ktc, Tc), not on the prepare stage's row_limit
         pool_rows = pool_order[:Ac] if Ac <= pool_order.shape[0] else \
             jnp.pad(pool_order, (0, Ac - pool_order.shape[0]),
                     constant_values=self.config.capacity - 1)
         args = (self.state, *stacked, rmasks, lists_orig, counts,
-                pool_rows, n_pool_dev, jnp.asarray(seq, jnp.int32),
+                pool_rows, n_pool_dev, tile_order[:, :Tc],
+                jnp.asarray(seq, jnp.int32),
                 n_iters, lrs, weights)
         statics = dict(settings=self.settings, mode=mode,
-                       max_weight=max_weight, Ac=Ac, Ktc=Ktc)
+                       max_weight=max_weight, Ac=Ac, Ktc=Ktc, Tc=Tc)
         self._maybe_prewarm_execute(args, statics, Ac, Ktc, n_pool, cm,
-                                    self.config.capacity, Kt)
+                                    self.config.capacity, Kt,
+                                    Tc, n_live_tiles, T_full)
         self.state, report = optimize.optimize_execute_donated(
             *args, **statics)
         return report

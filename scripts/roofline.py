@@ -231,11 +231,13 @@ def probe_opt_iter_compact(execute_args, execute_kwargs):
     from rtgslam_tpu.models import optimize as O
 
     (state, colors, depths, normals, w2cs, Ks, camposes,
-     rmasks, lists_orig, counts, pool_rows, n_pool,
+     rmasks, lists_orig, counts, pool_rows, n_pool, tile_rows,
      seq, n_iters, lrs, weights) = execute_args
     settings = execute_kwargs["settings"]
     Ac, Ktc = execute_kwargs["Ac"], execute_kwargs["Ktc"]
-    T = lists_orig.shape[1]
+    # tile-compact axis: the iteration renders only the live-tile prefix
+    T = execute_kwargs.get("Tc") or tile_rows.shape[-1]
+    T_full = lists_orig.shape[1]
     H, W = settings.height, settings.width
     sd = jax.ShapeDtypeStruct
     params_c = {k: sd((Ac,) + v.shape[1:], v.dtype)
@@ -243,7 +245,7 @@ def probe_opt_iter_compact(execute_args, execute_kwargs):
 
     @partial(jax.jit, static_argnames=("settings",))
     def f(params_c, hist_c, color, depth, normal, w2c, K, campos, rmask,
-          lists_c, counts_c, lrs, weights, settings):
+          lists_c, counts_c, trows, torig, lrs, weights, settings):
         hyper = dict(weights)
         hyper.update(hist_c)
         aux = {"update_mask": jnp.ones((Ac,), bool),
@@ -251,7 +253,9 @@ def probe_opt_iter_compact(execute_args, execute_kwargs):
         frame = {"color": color, "depth": depth, "normal": normal,
                  "w2c": w2c, "K": K, "campos": campos,
                  "render_mask": rmask,
-                 "tile_lists_c": lists_c, "tile_counts_c": counts_c}
+                 "tile_lists_c": lists_c, "tile_counts_c": counts_c,
+                 "tile_rows": trows, "tile_origins": torig,
+                 "n_tiles_full": T_full}
         (_, report), grads = jax.value_and_grad(
             O._loss_fn_compact, has_aux=True)(
             params_c, aux, frame, settings, hyper)
@@ -272,6 +276,7 @@ def probe_opt_iter_compact(execute_args, execute_kwargs):
         sd((3, 3), jnp.float32), sd((3,), jnp.float32),
         sd((H, W), jnp.bool_),
         sd((T, Ktc), jnp.int32), sd((T,), jnp.int32),
+        sd((T,), jnp.int32), sd((T, 2), jnp.float32),
         lrs, weights, settings=settings)
 
 
@@ -554,6 +559,12 @@ def capture_fullres_main():
         a[10] = _jax.ShapeDtypeStruct((Ac,), a[10].dtype)  # pool_rows [Ac]
         k["Ac"] = Ac
         k["Ktc"] = min(512, a[8].shape[-1])      # lists_orig [F, T, Kt]
+        # live-tile class at full res: half the grid (steady-state local
+        # masks measured 15-55% live at bench scale)
+        T_full = a[9].shape[-1]                  # counts [F, T]
+        Tc = max(32, T_full // 2)
+        a[12] = _jax.ShapeDtypeStruct((a[12].shape[0], Tc), a[12].dtype)
+        k["Tc"] = Tc
         specs["optimize_execute"] = (tuple(a), k)
     with open(SPEC_PICKLE, "wb") as f:
         pickle.dump(specs, f)

@@ -151,8 +151,8 @@ def test_compact_matches_freeze():
         lrs, weights, settings, mode="local", sample_ratio=-1.0,
         mask_depth_positive=False, max_weight=0.5, freeze_binning=True)
 
-    (rmasks, tiles, lists_orig, counts, pool_order,
-     n_pool, cnt_max) = optimize.optimize_prepare(
+    (rmasks, tiles, lists_orig, counts, pool_order, tile_order,
+     n_pool, cnt_max, n_live_tiles) = optimize.optimize_prepare(
         state, frames.color, frames.depth, frames.normal,
         frames.w2c, frames.K, frames.campos, settings=settings,
         mode="local", sample_ratio=-1.0, mask_depth_positive=False)
@@ -166,15 +166,19 @@ def test_compact_matches_freeze():
     # deliberately SMALLER than the full shapes so the crops are exercised
     Ac = bucket(int(n_pool), 64, pool_order.shape[0])
     Ktc = bucket(int(cnt_max), 64, lists_orig.shape[-1])
-    assert Ac < pool_order.shape[0] or Ktc < lists_orig.shape[-1], \
+    T_full = counts.shape[-1]
+    Tc = bucket(int(n_live_tiles), 4, T_full)
+    assert (Ac < pool_order.shape[0] or Ktc < lists_orig.shape[-1]
+            or Tc < T_full), \
         "tiny problem should exercise at least one real crop"
 
     out_state, out_report = optimize.optimize_execute(
         state, frames.color, frames.depth, frames.normal,
         frames.w2c, frames.K, frames.campos,
         rmasks, lists_orig, counts, pool_order[:Ac], n_pool,
+        tile_order[:, :Tc],
         seq, n_iters, lrs, weights, settings,
-        mode="local", max_weight=0.5, Ac=Ac, Ktc=Ktc)
+        mode="local", max_weight=0.5, Ac=Ac, Ktc=Ktc, Tc=Tc)
 
     np.testing.assert_allclose(np.asarray(out_state.xyz),
                                np.asarray(ref_state.xyz),
