@@ -378,7 +378,7 @@ def optimize_prepare(
                             geo.conic[order, 0], geo.conic[order, 1],
                             geo.conic[order, 2],
                             opa[order] * mask_pool[order]))
-            T = blend_mod.blend_transmission(
+            T = blend_mod.blend_transmission_blocked(
                 cols, bins.tile_counts, binning_mod.tile_origins(H, W),
                 T_threshold=settings.T_threshold)
             T_map = binning_mod.scatter_tiles(

@@ -309,15 +309,15 @@ def render_model_and_stable(
         (stable_col,), tile_lists)
     tile_gidx = order_pad[tile_lists]
 
-    model_tiles = blend.blend_tiles_pregathered(
+    model_tiles = blend.blend_tiles_blocked(
         tile_feat, tile_gidx, tile_counts, origins,
         opaque_threshold=settings.opaque_threshold,
-        T_threshold=settings.T_threshold, differentiable=False)
-    stable_tiles = blend.blend_tiles_pregathered(
+        T_threshold=settings.T_threshold)
+    stable_tiles = blend.blend_tiles_blocked(
         tile_feat.mask_contribution(tile_stable), tile_gidx,
         tile_counts, origins,
         opaque_threshold=settings.opaque_threshold,
-        T_threshold=settings.T_threshold, differentiable=False)
+        T_threshold=settings.T_threshold)
 
     model_out = _assemble_outputs(
         model_tiles, gaussians["normal"], overflow, H, W)
@@ -414,10 +414,10 @@ def render_with_inserted(
     idx_pad = jnp.concatenate([idx_m, jnp.array([-1], jnp.int32)])
     tile_feat = _with_sentinel(feat_m).gather(tile_lists)
     tile_gidx = idx_pad[tile_lists]
-    tiles = blend.blend_tiles_pregathered(
+    tiles = blend.blend_tiles_blocked(
         tile_feat, tile_gidx, tile_counts, origins,
         opaque_threshold=settings.opaque_threshold,
-        T_threshold=settings.T_threshold, differentiable=False)
+        T_threshold=settings.T_threshold)
     overflow = (base.visible_overflow + bin_ovf).astype(jnp.int32)
     return _assemble_outputs(tiles, normals_full, overflow, H, W)
 
@@ -612,7 +612,7 @@ def render_transmission(
                     geo.conic[order, 0], geo.conic[order, 1],
                     geo.conic[order, 2],
                     gaussians["opacity"].reshape(-1)[order]))
-    T = blend.blend_transmission(
+    T = blend.blend_transmission_blocked(
         cols, bins.tile_counts, binning.tile_origins(H, W),
         T_threshold=settings.T_threshold)
     T_map = binning.scatter_tiles(

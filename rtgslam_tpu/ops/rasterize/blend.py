@@ -323,6 +323,10 @@ def blend_tiles(
     # measured ~5x slower.)
     tile_feat = proj_sorted_feat.gather(tile_lists)   # FeatCols of [T, Kt]
     tile_gidx = order_pad[tile_lists]                 # [T, Kt]
+    if not differentiable:
+        return blend_tiles_blocked(
+            tile_feat, tile_gidx, tile_counts, origins,
+            opaque_threshold, T_threshold)
     return blend_tiles_pregathered(
         tile_feat, tile_gidx, tile_counts, origins,
         opaque_threshold, T_threshold, differentiable)
@@ -385,6 +389,91 @@ def blend_tiles_pregathered(
     return jax.vmap(run_tile)(tile_feat, tile_gidx, tile_counts, origins)
 
 
+def _zero_trip_outputs(T: int) -> TileOutputs:
+    """The vmapped while's init carry as outputs — what every count-0 tile
+    produces."""
+    npx = TILE * TILE
+    return TileOutputs(
+        color=jnp.zeros((T, npx, 3)),
+        depth=jnp.zeros((T, npx)),
+        depth_index=jnp.full((T, npx), -1, jnp.int32),
+        color_index=jnp.full((T, npx), -1, jnp.int32),
+        depth_weight=jnp.zeros((T, npx)),
+        color_weight=jnp.zeros((T, npx)),
+        T_final=jnp.ones((T, npx)),
+    )
+
+
+def blend_tiles_blocked(
+    tile_feat: FeatCols,       # [T, Kt] columns, depth-ordered
+    tile_gidx: jnp.ndarray,    # [T, Kt]
+    tile_counts: jnp.ndarray,  # [T]
+    origins: jnp.ndarray,      # [T, 2]
+    opaque_threshold: float,
+    T_threshold: float = 1e-4,
+    tile_block: int = 64,
+) -> TileOutputs:
+    """:func:`blend_tiles_pregathered` (inference path) as a sorted
+    work-queue whose HBM traffic scales with the LIVE tile population.
+
+    The vmapped-while formulation moves every tile's [256, chunk] alpha
+    block on every joint trip: at 170x300 the 8x8-tile block-major grid
+    pads 209 real tiles to 384 rows (46 % pure padding), dead tiles ride
+    along too, and the joint trip count is the MAX chunk depth over all
+    tiles.  Here tiles are sorted count-descending (live first, similar
+    chunk depths adjacent), processed in ``tile_block``-row slices inside a
+    ``while_loop`` whose trip count is ``ceil(live_tiles / tile_block)`` —
+    a runtime scalar — and each slice's inner chunk walk is bounded by that
+    slice's own max depth.  Unprocessed rows keep the zero-trip outputs,
+    exactly what the full pass produces for count == 0, and results gather
+    back to the original tile order: outputs are bitwise identical
+    (tests/test_rasterizer.py::test_blocked_blend_matches_pregathered).
+
+    Reference context: the CUDA rasterizer launches one thread block per
+    occupied tile (SLAM/render.py:61-108 forward) — occupancy-scaled work
+    is the contract being reproduced, not a new approximation.
+    """
+    T = tile_counts.shape[0]
+    B = min(tile_block, T)
+    Tp = -(-T // B) * B
+    pad = Tp - T
+
+    order = jnp.argsort(-tile_counts).astype(jnp.int32)
+
+    def padt(x, fill=0):
+        if pad == 0:
+            return x
+        widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    feat_s = FeatCols(*(padt(c[order]) for c in tile_feat))
+    gidx_s = padt(tile_gidx[order], -1)
+    counts_s = padt(tile_counts[order])
+    origins_s = padt(origins[order])
+    n_live = jnp.sum(tile_counts > 0)
+    trips = (n_live + B - 1) // B
+
+    def body(state):
+        b, out = state
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, b * B, B, axis=0)
+
+        blk = blend_tiles_pregathered(
+            FeatCols(*(sl(c) for c in feat_s)), sl(gidx_s), sl(counts_s),
+            sl(origins_s), opaque_threshold, T_threshold)
+        out = jax.tree.map(
+            lambda buf, x: jax.lax.dynamic_update_slice_in_dim(
+                buf, x, b * B, 0), out, blk)
+        return b + 1, out
+
+    _, out_s = jax.lax.while_loop(
+        lambda s: s[0] < trips, body,
+        (jnp.int32(0), _zero_trip_outputs(Tp)))
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return jax.tree.map(lambda x: x[inv], out_s)
+
+
 # ---------------------------------------------------------------------------
 # transmission-only blend (mask renders)
 # ---------------------------------------------------------------------------
@@ -442,6 +531,55 @@ def blend_transmission(
         return T
 
     return jax.vmap(run_tile)(tile_feat, tile_counts, origins)
+
+
+def blend_transmission_blocked(
+    tile_feat,                 # 6-tuple of [T, Kt] columns
+    tile_counts: jnp.ndarray,  # [T]
+    origins: jnp.ndarray,      # [T, 2]
+    T_threshold: float = 1e-4,
+    tile_block: int = 64,
+) -> jnp.ndarray:
+    """:func:`blend_transmission` as the same sorted work-queue as
+    :func:`blend_tiles_blocked` — the mask renders' tile population is the
+    OPTIMIZED pool's footprint (15-55 % of tiles at steady state), so the
+    occupancy scaling matters even more here.  Unprocessed tiles keep
+    T == 1 (the zero-trip value); outputs are bitwise identical to the
+    full pass."""
+    T = tile_counts.shape[0]
+    B = min(tile_block, T)
+    Tp = -(-T // B) * B
+    pad = Tp - T
+
+    order = jnp.argsort(-tile_counts).astype(jnp.int32)
+
+    def padt(x, fill=0):
+        if pad == 0:
+            return x
+        widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    feat_s = tuple(padt(c[order]) for c in tile_feat)
+    counts_s = padt(tile_counts[order])
+    origins_s = padt(origins[order])
+    n_live = jnp.sum(tile_counts > 0)
+    trips = (n_live + B - 1) // B
+
+    def body(state):
+        b, out = state
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, b * B, B, axis=0)
+
+        blk = blend_transmission(tuple(sl(c) for c in feat_s),
+                                 sl(counts_s), sl(origins_s), T_threshold)
+        return b + 1, jax.lax.dynamic_update_slice_in_dim(out, blk, b * B, 0)
+
+    _, out_s = jax.lax.while_loop(
+        lambda s: s[0] < trips, body,
+        (jnp.int32(0), jnp.ones((Tp, TILE * TILE))))
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return out_s[inv]
 
 
 # ---------------------------------------------------------------------------

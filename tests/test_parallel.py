@@ -197,3 +197,71 @@ def test_dp_global_optimize_depth_mask_matches_single_chip():
                        atol=1e-5)
     assert not np.allclose(np.asarray(ref_state.features_dc),
                            np.asarray(unmasked_state.features_dc), atol=1e-7)
+
+
+@pytest.mark.slow
+def test_sp_optimize_matches_single_chip():
+    """The TILE-sharded optimize (`sp_optimize_execute`, single-frame
+    spatial parallelism) must reproduce the single-chip compact executable
+    on the same prepare outputs and buckets: the tile-space masked sums
+    equal the image-space ones (disjoint 16x16 tiles cover the image) and
+    the psum'd gradients equal the full-image gradient up to float
+    reassociation."""
+    import jax.numpy as jnp
+    from rtgslam_tpu.models import optimize as opt_mod
+    from rtgslam_tpu.parallel import make_mesh
+    from rtgslam_tpu.parallel.sharded import _tiny_problem
+    from rtgslam_tpu.parallel.sp_optimize import sp_optimize_execute
+
+    state, frames, settings = _tiny_problem(n_frames=2, H=64, W=64)
+    frames = frames._replace(color=jnp.full_like(frames.color, 0.8))
+    lrs = {k: jnp.float32(1e-3) for k in opt_mod.PARAM_KEYS}
+    lrs = dict(lrs, features_dc=jnp.float32(2e-2))
+    weights = {"color_weight": jnp.float32(0.8),
+               "depth_weight": jnp.float32(1.0),
+               "normal_weight": jnp.float32(0.1),
+               "add_depth_thres": jnp.float32(0.1)}
+    seq = jnp.zeros(6, jnp.int32).at[1::2].set(1)
+    n_iters = 6
+
+    (rmasks, tiles, lists_orig, counts, pool_order, tile_order,
+     n_pool, cnt_max, n_live_tiles) = opt_mod.optimize_prepare(
+        state, frames.color, frames.depth, frames.normal,
+        frames.w2c, frames.K, frames.campos, settings=settings,
+        mode="local", sample_ratio=-1.0, mask_depth_positive=False)
+
+    def bucket(n, lo, hi):
+        b = lo
+        while b < n:
+            b *= 2
+        return min(b, hi)
+
+    n_dev = 4
+    T_full = counts.shape[-1]
+    Ac = bucket(int(n_pool), 64, pool_order.shape[0])
+    Ktc = bucket(int(cnt_max), 64, lists_orig.shape[-1])
+    Tc = bucket(max(int(n_live_tiles), n_dev), n_dev, T_full)
+    assert Tc % n_dev == 0
+
+    args = (state, frames.color, frames.depth, frames.normal,
+            frames.w2c, frames.K, frames.campos,
+            rmasks, lists_orig, counts, pool_order[:Ac], n_pool,
+            tile_order[:, :Tc], seq, n_iters, lrs, weights)
+    kw = dict(settings=settings, mode="local", max_weight=0.5,
+              Ac=Ac, Ktc=Ktc, Tc=Tc)
+    ref_state, ref_report = opt_mod.optimize_execute(*args, **kw)
+    sp_state, sp_report = sp_optimize_execute(*args, **kw,
+                                              mesh=make_mesh(n_dev))
+
+    assert np.isfinite(float(sp_report["total"]))
+    np.testing.assert_allclose(float(sp_report["total"]),
+                               float(ref_report["total"]),
+                               rtol=1e-4, atol=1e-6)
+    for k in ("xyz", "opacity", "scaling", "features_dc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sp_state, k)),
+            np.asarray(getattr(ref_state, k)), rtol=2e-4, atol=2e-6,
+            err_msg=f"param {k} diverged on the tile-sharded path")
+    np.testing.assert_allclose(np.asarray(sp_state.confidence),
+                               np.asarray(ref_state.confidence), atol=0)
+    assert not np.allclose(np.asarray(sp_state.xyz), np.asarray(state.xyz))

@@ -420,3 +420,66 @@ def test_render_with_inserted_matches_fresh():
     for k in ("color_index_map", "depth_index_map"):
         np.testing.assert_array_equal(
             np.asarray(fresh[k]), np.asarray(out[k]), err_msg=f"{k} differs")
+
+
+def _random_tile_blocks(T=37, Kt=128, seed=11):
+    """Random pre-gathered tile blocks with a skewed count distribution:
+    zeros (dead tiles), partial chunks, and full lists."""
+    from rtgslam_tpu.ops.rasterize import blend
+
+    rng = np.random.default_rng(seed)
+    cols = {
+        "mean_x": rng.uniform(0, 16, (T, Kt)),
+        "mean_y": rng.uniform(0, 16, (T, Kt)),
+        "conic_a": rng.uniform(0.05, 0.4, (T, Kt)),
+        "conic_b": rng.uniform(-0.03, 0.03, (T, Kt)),
+        "conic_c": rng.uniform(0.05, 0.4, (T, Kt)),
+        "depth": rng.uniform(0.5, 5.0, (T, Kt)),
+        "r": rng.uniform(0, 1, (T, Kt)),
+        "g": rng.uniform(0, 1, (T, Kt)),
+        "b": rng.uniform(0, 1, (T, Kt)),
+        "opacity": rng.uniform(0.2, 0.95, (T, Kt)),
+        "elig": (rng.uniform(size=(T, Kt)) > 0.2).astype(np.float32),
+    }
+    feat = blend.FeatCols(**{k: jnp.asarray(v, jnp.float32)
+                             for k, v in cols.items()})
+    gidx = jnp.asarray(rng.integers(0, 500, (T, Kt)), jnp.int32)
+    counts = np.where(rng.uniform(size=T) < 0.4, 0,
+                      rng.integers(1, Kt + 1, T)).astype(np.int32)
+    origins = jnp.asarray(
+        np.stack([rng.integers(0, 6, T) * 16.0,
+                  rng.integers(0, 4, T) * 16.0], -1), jnp.float32)
+    return feat, gidx, jnp.asarray(counts), origins
+
+
+def test_blocked_blend_matches_pregathered():
+    """The sorted work-queue blend (blend_tiles_blocked) must be BITWISE
+    the vmapped-while blend on every output — per-tile results are
+    independent, the block walk only reorders which tiles compute when,
+    and unprocessed tiles take the zero-trip carry values."""
+    from rtgslam_tpu.ops.rasterize import blend
+
+    feat, gidx, counts, origins = _random_tile_blocks()
+    base = blend.blend_tiles_pregathered(
+        feat, gidx, counts, origins, 0.6, 1e-4, False)
+    for tb in (8, 16, 64):
+        out = blend.blend_tiles_blocked(
+            feat, gidx, counts, origins, 0.6, 1e-4, tile_block=tb)
+        for k in blend.TileOutputs._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base, k)), np.asarray(getattr(out, k)),
+                err_msg=f"{k} differs at tile_block={tb}")
+
+
+def test_blocked_transmission_matches():
+    from rtgslam_tpu.ops.rasterize import blend
+
+    feat, _, counts, origins = _random_tile_blocks(seed=13)
+    cols = (feat.mean_x, feat.mean_y, feat.conic_a, feat.conic_b,
+            feat.conic_c, feat.opacity)
+    base = blend.blend_transmission(cols, counts, origins)
+    for tb in (8, 64):
+        out = blend.blend_transmission_blocked(
+            cols, counts, origins, tile_block=tb)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(out),
+                                      err_msg=f"T at tile_block={tb}")
