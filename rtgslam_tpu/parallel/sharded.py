@@ -376,6 +376,36 @@ def dryrun_multichip(n_devices: int) -> None:
         sample_ratio=0.4)
     jax.block_until_ready(glob_state.xyz)
     assert np.isfinite(float(glob_loss)), "dp_global_optimize non-finite loss"
+
+    # the OTHER sharding axis: single-frame-window optimize with the tile
+    # axis sharded over the same mesh (spatial parallelism, sp_optimize.py)
+    from .sp_optimize import sp_optimize_execute
+
+    (rmasks, _, lists_orig, counts, pool_order, tile_order,
+     n_pool, cnt_max, n_live_t) = opt_mod.optimize_prepare(
+        state, frames.color, frames.depth, frames.normal, frames.w2c,
+        frames.K, frames.campos, settings=settings, mode="local",
+        sample_ratio=-1.0, mask_depth_positive=False)
+
+    def bucket(n, lo, hi):
+        b = lo
+        while b < n:
+            b *= 2
+        return min(b, hi)
+
+    T_full = counts.shape[-1]
+    Ac = bucket(int(n_pool), 64, pool_order.shape[0])
+    Ktc = bucket(int(cnt_max), 64, lists_orig.shape[-1])
+    Tc = bucket(max(int(n_live_t), n_devices), n_devices, T_full)
+    sp_state, sp_report = sp_optimize_execute(
+        state, frames.color, frames.depth, frames.normal, frames.w2c,
+        frames.K, frames.campos, rmasks, lists_orig, counts,
+        pool_order[:Ac], n_pool, tile_order[:, :Tc],
+        jnp.zeros(2, jnp.int32), 2, lrs, weights, settings,
+        mode="local", max_weight=5.0, Ac=Ac, Ktc=Ktc, Tc=Tc, mesh=mesh)
+    jax.block_until_ready(sp_state.xyz)
+    sp_loss = float(sp_report["total"])
+    assert np.isfinite(sp_loss), "sp_optimize_execute non-finite loss"
     print(f"[dryrun_multichip] mesh={mesh.shape} loss={float(loss):.4f} "
           f"max|dxyz|={delta:.2e} local_loss={float(loc_loss):.4f} "
-          f"global_loss={float(glob_loss):.4f} OK")
+          f"global_loss={float(glob_loss):.4f} sp_loss={sp_loss:.4f} OK")
