@@ -38,12 +38,12 @@ done
 if [ "$up" = 0 ]; then echo "tunnel DOWN — aborting"; exit 1; fi
 
 run_all() {
+  # order = value; roofline_meas intentionally AFTER bench (TODO_TPU #5:
+  # re-measure frame_chain/prepare with the blocked blend in production).
   step bench           3600 python bench.py
   step roofline_meas   5400 python scripts/roofline.py
-  step traffic_frame   1800 python scripts/hlo_traffic.py frame_chain
-  step traffic_exec    1800 python scripts/hlo_traffic.py optimize_execute
   step fullres         5400 python scripts/roofline.py --fullres --no-measure
-  step pallas_bwd       900 python scripts/pallas_bwd_probe.py
+  step pallas_fwd      2700 python scripts/pallas_fwd_probe.py
   step closure_660     7200 python scripts/closure_probe.py --frames 660
 }
 
@@ -53,7 +53,7 @@ for pass in 1 2 3; do
   echo "== checklist pass $pass =="
   run_all
   n_done=$(ls "$LOG"/*.done 2>/dev/null | wc -l)
-  [ "$n_done" -ge 7 ] && break
+  [ "$n_done" -ge 5 ] && break
   sleep 120
 done
 echo "all steps attempted — fold results into PERF.md / ROOFLINE.json / README"
