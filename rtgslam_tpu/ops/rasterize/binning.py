@@ -54,32 +54,42 @@ def _compact_rows(hit: jnp.ndarray, capacity: int, fill: int) -> tuple[jnp.ndarr
     """Per-row stable compaction of a [..., N] boolean mask into index lists.
 
     Returns (lists [..., capacity] int32 with ``fill`` sentinel, counts).
-    One cumsum + one scatter for the whole batch.
+
+    Formulated as a GATHER, not a scatter: output slot k of a row is the
+    index of the row's (k+1)-th set bit, found by vectorized binary search
+    on the row cumsum (first n with cum[n] >= k+1; stability is the cumsum's
+    index order).  The earlier cumsum+scatter formulation lowered — under
+    the optimize_prepare 5-frame vmap — to XLA's sort-based scatter
+    expansion: a radix sort of [F, rows*N, 2] key/value pairs (~630 MB of
+    instruction traffic per call at the bench point, the top
+    optimize_prepare consumer in hlo_traffic.py).  ceil(log2(N+1)) small
+    [rows, capacity] gathers from the [rows, N] cumsum replace it.
     """
+    import math
+
     n = hit.shape[-1]
     lead = hit.shape[:-1]
     cum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
     counts = cum[..., -1]
-    pos = cum - 1                                   # target slot when hit
-    src = jax.lax.broadcasted_iota(jnp.int32, hit.shape, hit.ndim - 1)
-    # flatten leading dims -> single scatter with computed flat offsets
-    import math
-
     rows = math.prod(lead) if lead else 1
-    hit_f = hit.reshape(rows, n)
-    pos_f = pos.reshape(rows, n)
-    src_f = src.reshape(rows, n)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0)
-    flat_target = jnp.where(
-        hit_f & (pos_f < capacity),
-        row_iota * capacity + pos_f,
-        rows * capacity,                            # OOB -> dropped
-    )
-    out = jnp.full((rows * capacity,), fill, jnp.int32)
-    out = out.at[flat_target.reshape(-1)].set(
-        src_f.reshape(-1).astype(jnp.int32), mode="drop")
-    return (out.reshape(*lead, capacity),
-            jnp.minimum(counts, capacity).astype(jnp.int32))
+    cum_f = cum.reshape(rows, n)
+    k1 = jnp.arange(1, capacity + 1, dtype=jnp.int32)[None, :]  # [1, C]
+
+    def body(_, lohi):
+        lo, hi = lohi                               # answer in [lo, hi]
+        mid = jnp.minimum((lo + hi) // 2, n - 1)
+        v = jnp.take_along_axis(cum_f, mid, axis=1)
+        ge = v >= k1
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo = jnp.zeros((rows, capacity), jnp.int32)
+    hi = jnp.full((rows, capacity), n, jnp.int32)
+    steps = (n + 1).bit_length()                    # search space size n+1
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    counts_c = jnp.minimum(counts, capacity).astype(jnp.int32)
+    valid = k1 <= counts_c.reshape(rows, 1)         # slot k live iff k < count
+    out = jnp.where(valid, lo, fill)
+    return out.reshape(*lead, capacity), counts_c
 
 
 def bin_gaussians(

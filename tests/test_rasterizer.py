@@ -483,3 +483,42 @@ def test_blocked_transmission_matches():
             cols, counts, origins, tile_block=tb)
         np.testing.assert_array_equal(np.asarray(base), np.asarray(out),
                                       err_msg=f"T at tile_block={tb}")
+
+
+def test_compact_rows_matches_scatter_reference():
+    """_compact_rows (binary-search gather form) is bitwise-identical to the
+    cumsum+scatter definition it replaced: slot k of a row = index of the
+    row's (k+1)-th set bit; rows keep the FIRST `capacity` hits; dead slots
+    carry the fill sentinel.  Random masks incl. empty, full, overflowing
+    rows, vmapped and flat leading shapes."""
+    rng = np.random.default_rng(7)
+
+    def reference(hit, capacity, fill):
+        rows, n = hit.shape
+        out = np.full((rows, capacity), fill, np.int32)
+        counts = np.zeros(rows, np.int32)
+        for r in range(rows):
+            idx = np.flatnonzero(hit[r])[:capacity]
+            out[r, : idx.size] = idx
+            counts[r] = min(int(hit[r].sum()), capacity)
+        return out, counts
+
+    for cap, n, rows, p in [(8, 37, 5, 0.3), (16, 16, 4, 0.9),
+                            (4, 100, 7, 0.02), (32, 20, 3, 1.0),
+                            (6, 50, 2, 0.0)]:
+        hit = rng.random((rows, n)) < p
+        want, want_c = reference(hit, cap, n)
+        got, got_c = binning._compact_rows(jnp.asarray(hit), cap, n)
+        np.testing.assert_array_equal(np.asarray(got), want)
+        np.testing.assert_array_equal(np.asarray(got_c), want_c)
+
+    # 3-D leading shape (the fine tile stage) + vmap (the prepare path)
+    hit = rng.random((3, 4, 33)) < 0.4
+    flat_want, flat_cnt = reference(hit.reshape(12, 33), 5, 33)
+    got, got_c = binning._compact_rows(jnp.asarray(hit), 5, 33)
+    np.testing.assert_array_equal(np.asarray(got).reshape(12, 5), flat_want)
+    np.testing.assert_array_equal(np.asarray(got_c).reshape(12), flat_cnt)
+    vgot, vgot_c = jax.vmap(lambda h: binning._compact_rows(h, 5, 33))(
+        jnp.asarray(hit))
+    np.testing.assert_array_equal(np.asarray(vgot), np.asarray(got))
+    np.testing.assert_array_equal(np.asarray(vgot_c), np.asarray(got_c))
