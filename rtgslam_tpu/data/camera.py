@@ -47,8 +47,12 @@ class Camera:
     image: Optional[np.ndarray]  # [H, W, 3] float32 in [0,1]
     depth: Optional[np.ndarray]  # [H, W, 1] float32 (metres)
     image_name: str = ""
-    cx: float = -1.0
-    cy: float = -1.0
+    # None = principal point at the image centre.  Explicit values are
+    # honored VERBATIM including zero/negative ones: a row-band crop of a
+    # frame (data/bands.py) is the same camera with cy shifted by the band
+    # offset, which lands at or below zero for lower bands.
+    cx: Optional[float] = None
+    cy: Optional[float] = None
     timestamp: float = 0.0
     depth_scale: float = 1.0
     pose_gt: np.ndarray = field(default_factory=lambda: np.eye(4))
@@ -88,8 +92,8 @@ class Camera:
         w, h = self.image_width, self.image_height
         fx = geometry.fov2focal(self.FoVx, w)
         fy = geometry.fov2focal(self.FoVy, h)
-        cx = self.cx if self.cx > 0 else w / 2
-        cy = self.cy if self.cy > 0 else h / 2
+        cx = self.cx if self.cx is not None else w / 2
+        cy = self.cy if self.cy is not None else h / 2
         return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
 
     def get_uv(self, xyz_w: np.ndarray) -> np.ndarray:
@@ -131,8 +135,8 @@ class MiniCam:
     znear: float
     zfar: float
     w2c_matrix: np.ndarray   # world-to-camera 4x4
-    cx: float = -1.0
-    cy: float = -1.0
+    cx: Optional[float] = None
+    cy: Optional[float] = None
 
     @property
     def image_width(self):
@@ -146,8 +150,8 @@ class MiniCam:
     def intrinsic(self) -> np.ndarray:
         fx = geometry.fov2focal(self.FoVx, self.width)
         fy = geometry.fov2focal(self.FoVy, self.height)
-        cx = self.cx if self.cx > 0 else self.width / 2
-        cy = self.cy if self.cy > 0 else self.height / 2
+        cx = self.cx if self.cx is not None else self.width / 2
+        cy = self.cy if self.cy is not None else self.height / 2
         return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
 
     def device_dict(self) -> dict:

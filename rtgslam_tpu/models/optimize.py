@@ -290,7 +290,7 @@ def _make_masks_impl(state, cams, settings, mode, sample_ratio, H, W):
             tile = jnp.ones(((H + 15) // 16, (W + 15) // 16), jnp.int32)
         return rmask, tile
 
-    return jax.vmap(make_masks)(cams)
+    return jax.lax.map(make_masks, cams)    # lax.map: see optimize_prepare
 
 
 @partial(jax.jit, static_argnames=(
@@ -396,8 +396,14 @@ def optimize_prepare(
                 [order, jnp.array([state.capacity], jnp.int32)])
             return rmask, tile, order_pad[bins.tile_lists], counts
 
-        rmasks, tiles, lists_orig, counts = jax.vmap(per_frame)(
-            {"w2c": w2cs, "K": Ks, "campos": camposes}, depths)
+        # lax.map over frames: with the compaction scatter marked
+        # unique_indices (binning._compact_rows) vmap and lax.map measure
+        # identical on the v5e (scripts/prepare_probe.py — the radix-sort
+        # scatter expansion that penalized the vmapped form is gone);
+        # lax.map keeps the executable one-frame-sized.
+        rmasks, tiles, lists_orig, counts = jax.lax.map(
+            lambda cd: per_frame(cd[0], cd[1]),
+            ({"w2c": w2cs, "K": Ks, "campos": camposes}, depths))
         tile_order = jax.vmap(lambda c: stable_partition_order(c > 0))(counts)
         n_live_tiles = jnp.max(jnp.sum(counts > 0, axis=1))
         return (rmasks, tiles, lists_orig, counts,
@@ -430,8 +436,9 @@ def optimize_prepare(
             [bins.order, jnp.array([state.capacity], jnp.int32)])
         return order_pad[bins.tile_lists], bins.tile_counts
 
-    lists_orig, counts = jax.vmap(make_bins)(
-        {"w2c": w2cs, "K": Ks, "campos": camposes}, tiles)
+    lists_orig, counts = jax.lax.map(       # lax.map: see local-mode note
+        lambda ct: make_bins(ct[0], ct[1]),
+        ({"w2c": w2cs, "K": Ks, "campos": camposes}, tiles))
     tile_order = jax.vmap(lambda c: stable_partition_order(c > 0))(counts)
     n_live_tiles = jnp.max(jnp.sum(counts > 0, axis=1))
     return (rmasks, tiles, lists_orig, counts,

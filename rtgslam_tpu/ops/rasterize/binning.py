@@ -55,41 +55,38 @@ def _compact_rows(hit: jnp.ndarray, capacity: int, fill: int) -> tuple[jnp.ndarr
 
     Returns (lists [..., capacity] int32 with ``fill`` sentinel, counts).
 
-    Formulated as a GATHER, not a scatter: output slot k of a row is the
-    index of the row's (k+1)-th set bit, found by vectorized binary search
-    on the row cumsum (first n with cum[n] >= k+1; stability is the cumsum's
-    index order).  The earlier cumsum+scatter formulation lowered — under
-    the optimize_prepare 5-frame vmap — to XLA's sort-based scatter
-    expansion: a radix sort of [F, rows*N, 2] key/value pairs (~630 MB of
-    instruction traffic per call at the bench point, the top
-    optimize_prepare consumer in hlo_traffic.py).  ceil(log2(N+1)) small
-    [rows, capacity] gathers from the [rows, N] cumsum replace it.
+    Formulated as a TOP_K, not a scatter or cumsum+gather: the k-th set
+    bit of a row is the k-th smallest value of ``where(hit, index, BIG)``,
+    and top_k's returned VALUES are those indices directly (XLA lowers
+    batched top_k to the TPU's PartialReduce unit).  The alternatives were
+    all probed on the v5e (scripts/prepare_probe3.py, 5-frame production
+    structure, [384, 4096] -> [384, 512]):
+
+      cumsum + scatter (even with ``unique_indices`` declared so the
+        sort-based scatter expansion is skipped): +37 ms over the
+        hit-matrix floor — the scatter itself is the cost;
+      cumsum as a strictly-lower-triangular MXU matmul: cumsum was never
+        the cost (+1 ms), scatter still dominates;
+      binary-search gather (k-th set bit via ceil(log2 N) lane-axis
+        ``take_along_axis`` rounds on the cumsum): REGRESSED measured at
+        the prepare level (143 -> 277 ms);
+      top_k: +1.7 ms, bit-identical output.
     """
-    import math
-
     n = hit.shape[-1]
-    lead = hit.shape[:-1]
-    cum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
-    counts = cum[..., -1]
-    rows = math.prod(lead) if lead else 1
-    cum_f = cum.reshape(rows, n)
-    k1 = jnp.arange(1, capacity + 1, dtype=jnp.int32)[None, :]  # [1, C]
-
-    def body(_, lohi):
-        lo, hi = lohi                               # answer in [lo, hi]
-        mid = jnp.minimum((lo + hi) // 2, n - 1)
-        v = jnp.take_along_axis(cum_f, mid, axis=1)
-        ge = v >= k1
-        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
-
-    lo = jnp.zeros((rows, capacity), jnp.int32)
-    hi = jnp.full((rows, capacity), n, jnp.int32)
-    steps = (n + 1).bit_length()                    # search space size n+1
-    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    counts = jnp.sum(hit.astype(jnp.int32), axis=-1)
+    key = jnp.where(
+        hit, jax.lax.broadcasted_iota(jnp.int32, hit.shape, hit.ndim - 1),
+        jnp.int32(1) << 30)
+    k_eff = min(capacity, n)
+    vals = -jax.lax.top_k(-key, k_eff)[0]       # k_eff smallest, ascending
+    if k_eff < capacity:                        # static pad (capacity > n)
+        pad = jnp.broadcast_to(jnp.int32(1) << 30,
+                               (*hit.shape[:-1], capacity - k_eff))
+        vals = jnp.concatenate([vals, pad], axis=-1)
     counts_c = jnp.minimum(counts, capacity).astype(jnp.int32)
-    valid = k1 <= counts_c.reshape(rows, 1)         # slot k live iff k < count
-    out = jnp.where(valid, lo, fill)
-    return out.reshape(*lead, capacity), counts_c
+    k_iota = jnp.arange(capacity, dtype=jnp.int32)
+    out = jnp.where(k_iota < counts_c[..., None], vals, fill)
+    return out, counts_c
 
 
 def bin_gaussians(

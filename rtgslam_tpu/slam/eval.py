@@ -96,14 +96,19 @@ def eval_frame(mapper, frame, save_path: Optional[str] = None,
                save_picture: bool = False, run_pcd: bool = False,
                pcd_gt_path: Optional[str] = None,
                opaque_threshold_eval: Optional[float] = None,
-               pcd_rec_path: Optional[str] = None) -> Dict[str, float]:
+               pcd_rec_path: Optional[str] = None,
+               settings=None) -> Dict[str, float]:
     """Render the frame from the current map and score it
     (reference SLAM/eval.py:226-274).
 
     ``pcd_rec_path`` points geometry eval at a reconstruction PLY — the
     densified point cloud when available (reference metric.py:156-157
-    prefers ``pcd_densify.ply`` over raw gaussian centers)."""
-    settings = mapper.settings
+    prefers ``pcd_densify.ply`` over raw gaussian centers).
+    ``settings`` overrides the mapper's RasterSettings — needed when the
+    eval camera's resolution differs from the mapping resolution (the
+    banded path maps at H/n_bands but evals the final keyframe full-res)."""
+    if settings is None:
+        settings = mapper.settings
     if opaque_threshold_eval is not None:
         import dataclasses
 

@@ -18,6 +18,10 @@ parser = ArgumentParser(description="TPU RTG-SLAM")
 parser.add_argument("--config", type=str, default="configs/replica/room0.yaml")
 parser.add_argument("--frames", type=int, default=-1,
                     help="override frame_num (quick runs)")
+parser.add_argument("--bands", type=int, default=0,
+                    help="override frame_bands (sub-frame row-band dispatch; "
+                         "N>1 splits each frame into N row bands so no single "
+                         "device dispatch exceeds the flaky-worker size limit)")
 parser.add_argument("--platform", type=str, default=None,
                     help="force a jax backend (e.g. 'cpu'); the in-process "
                          "config update is the only override the axon TPU "
@@ -42,6 +46,8 @@ def main():
     args = read_config(cli.config)
     if cli.frames != -1:
         args.frame_num = cli.frames
+    if cli.bands:
+        args.frame_bands = cli.bands
     safe_state(getattr(args, "quiet", False))
 
     recorder = Recorder(0, record_mem=getattr(args, "record_mem", False))
@@ -58,27 +64,82 @@ def main():
     frame_infos = dataset.scene_info.train_cameras
     from rtgslam_tpu.data.loader import FrameLoader
 
+    # sub-frame (row-band) dispatch: full-res frames on a worker that
+    # crashes on large single dispatches (data/bands.py).  Tracking runs
+    # once per frame on a stride-downsampled copy; every band maps with
+    # the tracked pose against the shared map.
+    n_bands = int(getattr(args, "frame_bands", 1))
+    band_track_stride = int(getattr(args, "band_track_stride", n_bands))
+    track_settings = None
+
     loader = FrameLoader(dataset_params, frame_infos, prefetch=4)
     for frame_id, frame in enumerate(loader):
         print(f"========== curr frame is: {frame_id} ==========")
 
-        start = time.time()
-        frame_map = tracker.map_preprocess(frame, frame_id)
-        tracker.tracking(frame, frame_map)
-        tracker_time = time.time() - start
-        recorder.update_mean("tracking", tracker_time, 1)
+        if n_bands > 1:
+            from rtgslam_tpu.data.bands import downsample_camera, split_bands
+            from rtgslam_tpu.ops.rasterize.api import RasterSettings
+            from rtgslam_tpu.slam.tracker import preprocess_and_lift
+            import jax.numpy as jnp
 
-        map_start = time.time()
-        mapper.update_poses(tracker.get_new_poses())
-        mapper.mapping(frame, frame_map, frame_id, optimization_params)
-        mapper.get_render_output(frame)
-        tracker.update_last_status(
-            frame,
-            mapper.model_map["render_depth"],
-            mapper.frame_map["depth_map"],
-            mapper.model_map["render_normal"],
-            mapper.frame_map["normal_map_w"],
-        )
+            track_cam = downsample_camera(frame, band_track_stride)
+            if track_settings is None:
+                track_settings = RasterSettings.from_args(
+                    args, track_cam.image_height, track_cam.image_width)
+
+            start = time.time()
+            frame_map = tracker.map_preprocess(track_cam, frame_id)
+            tracker.tracking(track_cam, frame_map)
+            tracker_time = time.time() - start
+            recorder.update_mean("tracking", tracker_time, 1)
+            frame.update(track_cam.R, track_cam.T)   # tracked pose -> frame
+
+            map_start = time.time()
+            mapper.update_poses(tracker.get_new_poses())
+            bands = split_bands(frame, n_bands, rotate=frame_id)
+            for bcam in bands:
+                bfm = preprocess_and_lift(
+                    jnp.asarray(bcam.depth, jnp.float32),
+                    jnp.asarray(bcam.image, jnp.float32),
+                    jnp.asarray(bcam.intrinsic),
+                    jnp.asarray(bcam.c2w, jnp.float32),
+                    args.min_depth, args.max_depth,
+                    tracker.invalid_confidence_thresh, tracker.depth_filter)
+                bfm["time"] = frame_id
+                mapper.mapping(bcam, bfm, frame_id, optimization_params)
+                mapper.time += 1
+            mapper.time -= 1   # main-loop tail increments once more
+            # model feedback for frame-to-model ICP, at TRACK resolution
+            out = mapper._render(track_cam.device_dict(), "global",
+                                 settings=track_settings)
+            mapper._set_model_map(out)
+            tracker.update_last_status(
+                track_cam,
+                mapper.model_map["render_depth"],
+                frame_map["depth_map"],
+                mapper.model_map["render_normal"],
+                frame_map["normal_map_w"],
+            )
+            eval_cam = bands[0]
+        else:
+            start = time.time()
+            frame_map = tracker.map_preprocess(frame, frame_id)
+            tracker.tracking(frame, frame_map)
+            tracker_time = time.time() - start
+            recorder.update_mean("tracking", tracker_time, 1)
+
+            map_start = time.time()
+            mapper.update_poses(tracker.get_new_poses())
+            mapper.mapping(frame, frame_map, frame_id, optimization_params)
+            mapper.get_render_output(frame)
+            tracker.update_last_status(
+                frame,
+                mapper.model_map["render_depth"],
+                mapper.frame_map["depth_map"],
+                mapper.model_map["render_normal"],
+                mapper.frame_map["normal_map_w"],
+            )
+            eval_cam = frame
         mapper_time = time.time() - map_start
         recorder.update_mean("mapping", mapper_time, 1)
         if recorder.record_mem:
@@ -87,7 +148,7 @@ def main():
 
         if (mapper.time + 1) % mapper.save_step == 0 or mapper.time == 0:
             metrics = eval_frame(
-                mapper, frame, os.path.join(args.save_path, "eval_render"),
+                mapper, eval_cam, os.path.join(args.save_path, "eval_render"),
                 min_depth=args.min_depth, max_depth=args.max_depth,
                 save_picture=True)
             print(f"[EVAL] frame {frame_id}: psnr {metrics['psnr']:.2f} "
@@ -105,9 +166,14 @@ def main():
         kf = mapper.keyframe_list[-1]["frame"]
         kf_full = load_camera(dataset_params, kf.uid, frame_infos[kf.uid])
         kf_full.update(kf.R, kf.T)
+        final_settings = None
+        if n_bands > 1:   # mapper compiled at band size; eval full-res
+            from rtgslam_tpu.ops.rasterize.api import RasterSettings
+            final_settings = RasterSettings.from_args(
+                args, kf_full.image_height, kf_full.image_width)
         eval_frame(mapper, kf_full, os.path.join(args.save_path, "eval_render"),
                    min_depth=args.min_depth, max_depth=args.max_depth,
-                   save_picture=True)
+                   save_picture=True, settings=final_settings)
     mapper.save_model(save_data=True)
     ate = tracker.save_traj(args.save_path)
     fps = recorder.cal_fps()

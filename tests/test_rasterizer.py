@@ -486,11 +486,12 @@ def test_blocked_transmission_matches():
 
 
 def test_compact_rows_matches_scatter_reference():
-    """_compact_rows (binary-search gather form) is bitwise-identical to the
-    cumsum+scatter definition it replaced: slot k of a row = index of the
-    row's (k+1)-th set bit; rows keep the FIRST `capacity` hits; dead slots
-    carry the fill sentinel.  Random masks incl. empty, full, overflowing
-    rows, vmapped and flat leading shapes."""
+    """_compact_rows (top_k form, prepare_probe3-selected) is
+    bitwise-identical to the cumsum+scatter definition it replaced: slot k
+    of a row = index of the row's (k+1)-th set bit; rows keep the FIRST
+    `capacity` hits; dead slots carry the fill sentinel.  Random masks
+    incl. empty, full, overflowing rows, vmapped and flat leading shapes —
+    plus capacity > n (the static-pad branch)."""
     rng = np.random.default_rng(7)
 
     def reference(hit, capacity, fill):
