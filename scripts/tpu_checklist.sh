@@ -28,32 +28,37 @@ step() {  # step <name> <timeout_s> <cmd...>
   fi
 }
 
-# 0. initial probe — the tunnel flaps, so retry for up to ~30 min before
+# 0. initial probe — the tunnel flaps, so retry for up to ~1 h before
 # giving up (each attempt is itself 90 s-bounded)
 up=0
-for i in $(seq 1 12); do
+for i in $(seq 1 24); do
   if probe; then up=1; echo "tunnel UP (attempt $i)"; break; fi
   echo "tunnel DOWN (attempt $i) — sleeping 150 s"; sleep 150
 done
 if [ "$up" = 0 ]; then echo "tunnel DOWN — aborting"; exit 1; fi
 
 run_all() {
-  # order = value; roofline_meas intentionally AFTER bench (TODO_TPU #5:
-  # re-measure frame_chain/prepare with the blocked blend in production).
-  step bench           3600 python bench.py
+  # order = value.  probe2 first (attributes the remaining prepare latency
+  # with the top_k compaction in production); roofline AFTER it so the
+  # refreshed measured_ms reflect whatever stands; bench last of the perf
+  # trio (gates must stay green).  banded_mid is the crash-threshold
+  # existence proof (340x600 = the size the worker dies on, via 2 bands);
+  # banded_full is the Replica-class full-res run (680x1200 via 8 bands).
+  step probe2          2700 python scripts/prepare_probe2.py
   step roofline_meas   5400 python scripts/roofline.py
+  step bench           3600 python bench.py
+  step banded_mid      5400 python slam.py --config configs/synthetic/room_mid.yaml --frames 12
+  step banded_full     7200 python slam.py --config configs/synthetic/room_full.yaml --frames 12
   step fullres         5400 python scripts/roofline.py --fullres --no-measure
-  step pallas_fwd      2700 python scripts/pallas_fwd_probe.py
-  step closure_660     7200 python scripts/closure_probe.py --frames 660
 }
 
-# outer retry: a mid-checklist flap skips steps; give every step up to 3
+# outer retry: a mid-checklist flap skips steps; give every step up to 4
 # passes (finished steps are .done-skipped, so reruns are cheap)
-for pass in 1 2 3; do
+for pass in 1 2 3 4; do
   echo "== checklist pass $pass =="
   run_all
   n_done=$(ls "$LOG"/*.done 2>/dev/null | wc -l)
-  [ "$n_done" -ge 5 ] && break
+  [ "$n_done" -ge 6 ] && break
   sleep 120
 done
 echo "all steps attempted — fold results into PERF.md / ROOFLINE.json / README"

@@ -166,14 +166,29 @@ def main():
         kf = mapper.keyframe_list[-1]["frame"]
         kf_full = load_camera(dataset_params, kf.uid, frame_infos[kf.uid])
         kf_full.update(kf.R, kf.T)
-        final_settings = None
-        if n_bands > 1:   # mapper compiled at band size; eval full-res
-            from rtgslam_tpu.ops.rasterize.api import RasterSettings
-            final_settings = RasterSettings.from_args(
-                args, kf_full.image_height, kf_full.image_width)
-        eval_frame(mapper, kf_full, os.path.join(args.save_path, "eval_render"),
-                   min_depth=args.min_depth, max_depth=args.max_depth,
-                   save_picture=True, settings=final_settings)
+        if n_bands > 1:
+            # Band-by-band final eval: a single full-res dispatch is what
+            # --bands exists to avoid (the flaky worker crashes executing
+            # it).  Equal-pixel bands make the full-frame PSNR exact:
+            # mse_full = mean(mse_band), psnr = -10 log10(mse_full).
+            import math as _math
+            from rtgslam_tpu.data.bands import split_bands
+            mses, d1s = [], []
+            for bcam in split_bands(kf_full, n_bands):
+                m = eval_frame(
+                    mapper, bcam, os.path.join(args.save_path, "eval_render"),
+                    min_depth=args.min_depth, max_depth=args.max_depth,
+                    save_picture=True)
+                mses.append(10.0 ** (-m["psnr"] / 10.0))
+                d1s.append(m["depth_l1_cm"])
+            print(f"[EVAL] final keyframe (banded x{n_bands}): "
+                  f"psnr {-10.0 * _math.log10(sum(mses) / len(mses)):.2f} "
+                  f"depthL1 {sum(d1s) / len(d1s):.2f}cm")
+        else:
+            eval_frame(mapper, kf_full,
+                       os.path.join(args.save_path, "eval_render"),
+                       min_depth=args.min_depth, max_depth=args.max_depth,
+                       save_picture=True)
     mapper.save_model(save_data=True)
     ate = tracker.save_traj(args.save_path)
     fps = recorder.cal_fps()
